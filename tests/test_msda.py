@@ -1,0 +1,70 @@
+"""MSDA op vs an independent torch grid_sample implementation.
+
+The torch oracle below mirrors mmcv's ``multi_scale_deformable_attn_pytorch``
+semantics (grid_sample, align_corners=False, zero padding), which is the
+contract the reference's CUDA kernel also satisfies.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from unibev_tpu.ops.msda import ms_deform_attn
+
+
+def torch_msda(value, spatial_shapes, sampling_locations, attention_weights):
+    bs, _, num_heads, dim = value.shape
+    _, num_queries, _, num_levels, num_points, _ = sampling_locations.shape
+    value_list = value.split([h * w for h, w in spatial_shapes], dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    out = []
+    for level, (H, W) in enumerate(spatial_shapes):
+        v = value_list[level].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, dim, H, W)
+        grid = sampling_grids[:, :, :, level].transpose(1, 2).flatten(0, 1)
+        sampled = F.grid_sample(v, grid, mode="bilinear",
+                                padding_mode="zeros", align_corners=False)
+        out.append(sampled)
+    attn = attention_weights.transpose(1, 2).reshape(
+        bs * num_heads, 1, num_queries, num_levels * num_points)
+    res = (torch.stack(out, dim=-2).flatten(-2) * attn).sum(-1).view(
+        bs, num_heads * dim, num_queries)
+    return res.transpose(1, 2).contiguous()
+
+
+@pytest.mark.parametrize("levels,chunk", [(((12, 20),), 0), (((12, 20), (6, 10)), 0),
+                                          (((12, 20),), 8)])
+def test_msda_matches_torch(levels, chunk):
+    rng = np.random.RandomState(3)
+    B, Q, H, D, P = 2, 32, 4, 8, 5
+    num_value = sum(h * w for h, w in levels)
+    value = rng.randn(B, num_value, H, D).astype(np.float32)
+    # include out-of-range locations to exercise zero padding
+    loc = rng.uniform(-0.2, 1.2, size=(B, Q, H, len(levels), P, 2)).astype(np.float32)
+    attn = rng.rand(B, Q, H, len(levels), P).astype(np.float32)
+    attn /= attn.sum(axis=(3, 4), keepdims=True)
+
+    ours = np.array(ms_deform_attn(jnp.array(value), levels, jnp.array(loc),
+                                   jnp.array(attn), query_chunk=chunk))
+    ref = torch_msda(torch.from_numpy(value), levels,
+                     torch.from_numpy(loc), torch.from_numpy(attn)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_msda_grad_finite():
+    import jax
+    rng = np.random.RandomState(0)
+    levels = ((8, 8),)
+    B, Q, H, D, P = 1, 16, 2, 4, 4
+    value = jnp.array(rng.randn(B, 64, H, D).astype(np.float32))
+    loc = jnp.array(rng.uniform(0, 1, size=(B, Q, H, 1, P, 2)).astype(np.float32))
+    attn = jnp.array(rng.rand(B, Q, H, 1, P).astype(np.float32))
+
+    def loss(v, l, a):
+        return ms_deform_attn(v, levels, l, a).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+    for g in grads:
+        assert np.all(np.isfinite(np.array(g)))
