@@ -1,0 +1,119 @@
+"""Sparse conv primitives vs a dense torch conv3d oracle.
+
+A submanifold conv equals the dense conv evaluated at the active input sites
+(zeros elsewhere); a strided sparse conv equals the dense strided conv
+evaluated at spconv's active output sites.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from unibev_tpu.ops.sparse_conv import (SparseGrid, build_table,
+                                        subm_neighbor_idx, gather_conv,
+                                        downsample_active_set,
+                                        strided_neighbor_idx, to_dense)
+
+
+def make_sparse(rng, B, D, H, W, C, n_active, capacity):
+    coords = set()
+    while len(coords) < n_active:
+        coords.add((rng.randint(B), rng.randint(D), rng.randint(H), rng.randint(W)))
+    coords = np.array(sorted(coords), np.int32)
+    V = capacity
+    pad = V - len(coords)
+    mask = np.array([True] * len(coords) + [False] * pad)
+    coords = np.concatenate([coords, -np.ones((pad, 4), np.int32)])
+    feats = rng.randn(V, C).astype(np.float32) * mask[:, None]
+    return feats, coords, mask
+
+
+def dense_of(feats, coords, mask, B, D, H, W, C):
+    dense = np.zeros((B, D, H, W, C), np.float32)
+    for f, c, m in zip(feats, coords, mask):
+        if m:
+            dense[c[0], c[1], c[2], c[3]] = f
+    return dense
+
+
+def torch_conv3d(dense_bdhwc, w_kcico, stride, padding):
+    # w: (27*Cin, Cout) tap-major (dz,dy,dx row-major) -> torch (Cout,Cin,kz,ky,kx)
+    B, D, H, W, Cin = dense_bdhwc.shape
+    Cout = w_kcico.shape[1]
+    w = w_kcico.reshape(3, 3, 3, Cin, Cout).transpose(4, 3, 0, 1, 2)
+    x = torch.from_numpy(dense_bdhwc.transpose(0, 4, 1, 2, 3).copy())
+    out = F.conv3d(x, torch.from_numpy(w.copy()), stride=stride, padding=padding)
+    return out.numpy().transpose(0, 2, 3, 4, 1)
+
+
+def test_subm_conv_matches_dense():
+    rng = np.random.RandomState(0)
+    B, D, H, W, Cin, Cout = 2, 6, 10, 10, 4, 8
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 150, 256)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    w = (rng.randn(27 * Cin, Cout) * 0.1).astype(np.float32)
+    out = np.array(gather_conv(jnp.array(feats), nidx, jnp.array(w), grid.mask))
+
+    dense = dense_of(feats, coords, mask, B, D, H, W, Cin)
+    ref = torch_conv3d(dense, w, 1, 1)
+    for i in range(256):
+        if mask[i]:
+            b, z, y, x = coords[i]
+            np.testing.assert_allclose(out[i], ref[b, z, y, x], atol=1e-4, rtol=1e-4)
+        else:
+            assert np.allclose(out[i], 0)
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.RandomState(1)
+    B, D, H, W, Cin, Cout = 1, 9, 12, 12, 3, 5
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 80, 128)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    stride, padding = (2, 2, 2), (1, 1, 1)
+    Do, Ho, Wo = [(s + 2 * p - 3) // st + 1 for s, p, st in
+                  zip((D, H, W), padding, stride)]
+    co, mo, overflow = downsample_active_set(
+        jnp.array(coords), jnp.array(mask), (3, 3, 3), stride, padding,
+        (Do, Ho, Wo), 512, B)
+    assert int(overflow) == 0
+    nidx = strided_neighbor_idx(grid, table, co, mo, (3, 3, 3), stride, padding)
+    w = (rng.randn(27 * Cin, Cout) * 0.1).astype(np.float32)
+    out = np.array(gather_conv(jnp.array(feats), nidx, jnp.array(w), mo))
+
+    dense = dense_of(feats, coords, mask, B, D, H, W, Cin)
+    ref = torch_conv3d(dense, w, 2, 1)
+
+    co_np, mo_np = np.array(co), np.array(mo)
+    # 1) value parity at active output sites
+    for i in range(512):
+        if mo_np[i]:
+            b, z, y, x = co_np[i]
+            np.testing.assert_allclose(out[i], ref[b, z, y, x], atol=1e-4, rtol=1e-4)
+    # 2) active-site-set parity: dense-nonzero sites == our active sites
+    #    (active means kernel window covers an input site; random features are
+    #    nonzero a.s.)
+    ours = {tuple(c) for c, m in zip(co_np, mo_np) if m}
+    theirs = set()
+    dense_in_mask = dense_of(np.ones_like(feats), coords, mask, B, D, H, W, Cin)
+    cover = torch_conv3d(dense_in_mask, np.ones((27 * Cin, 1), np.float32), 2, 1)
+    for b in range(B):
+        for z in range(Do):
+            for y in range(Ho):
+                for x in range(Wo):
+                    if cover[b, z, y, x, 0] > 0:
+                        theirs.add((b, z, y, x))
+    assert ours == theirs
+
+
+def test_to_dense_roundtrip():
+    rng = np.random.RandomState(2)
+    B, D, H, W, C = 2, 3, 5, 5, 4
+    feats, coords, mask = make_sparse(rng, B, D, H, W, C, 40, 64)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    dense = np.array(to_dense(jnp.array(feats), grid))
+    ref = dense_of(feats, coords, mask, B, D, H, W, C)
+    np.testing.assert_allclose(dense, ref)

@@ -1,0 +1,103 @@
+"""Modulated deformable convolution (DCNv2) as bilinear-gather + matmul.
+
+Replaces the mmcv DCNv2 CUDA op used in the reference image backbone's
+stages 3-4 (config dcn=DCNv2 at /root/reference/projects/UniBEV/configs/
+unibev/unibev_nus_LC_cnw_256_modality_dropout.py:235-236).
+
+TPU shape of the computation: the learned offsets move each kernel tap to a
+fractional position; we bilinearly sample all K*K taps (a gather of rows from
+the flattened feature map), modulate by the sigmoid mask, and reduce with ONE
+(K*K*Cin) x Cout matmul on the MXU — i.e. deformable im2col where the gather
+is the only non-matmul work, sharing machinery with the MSDA op.
+
+Offset channel layout matches mmcv's kernel: per kernel tap k (row-major),
+offset[..., 2k] = dy_k, offset[..., 2k+1] = dx_k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "stride", "padding", "dilation"))
+def modulated_deform_conv2d(x: jnp.ndarray,
+                            offset: jnp.ndarray,
+                            mask: jnp.ndarray,
+                            weight: jnp.ndarray,
+                            bias: jnp.ndarray = None,
+                            kernel_size: Tuple[int, int] = (3, 3),
+                            stride: int = 1,
+                            padding: int = 1,
+                            dilation: int = 1) -> jnp.ndarray:
+    """NHWC modulated deformable conv.
+
+    Args:
+      x: (B, H, W, Cin).
+      offset: (B, Ho, Wo, 2*Kh*Kw) — (dy, dx) interleaved per tap.
+      mask: (B, Ho, Wo, Kh*Kw) — already sigmoid-ed modulation scalars.
+      weight: (Kh*Kw*Cin, Cout) — tap-major (kernel position outer, Cin inner).
+      bias: (Cout,) or None.
+    """
+    B, H, W, Cin = x.shape
+    Kh, Kw = kernel_size
+    K = Kh * Kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+
+    # Base sampling grid: output pixel (i, j), tap (u, v) samples input at
+    # (i*stride - padding + u*dilation + dy, j*stride - padding + v*dilation + dx).
+    oy = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
+    ox = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
+    ky = jnp.arange(Kh, dtype=jnp.float32) * dilation
+    kx = jnp.arange(Kw, dtype=jnp.float32) * dilation
+    base_y = (oy[:, None, None, None] + ky[None, None, :, None])  # (Ho,1,Kh,1)
+    base_x = (ox[None, :, None, None] + kx[None, None, None, :])  # (1,Wo,1,Kw)
+    base_y = jnp.broadcast_to(base_y, (Ho, Wo, Kh, Kw))
+    base_x = jnp.broadcast_to(base_x, (Ho, Wo, Kh, Kw))
+
+    off = offset.reshape(B, Ho, Wo, K, 2).astype(jnp.float32)
+    sy = base_y.reshape(1, Ho, Wo, K) + off[..., 0]
+    sx = base_x.reshape(1, Ho, Wo, K) + off[..., 1]
+
+    # Bilinear sample with zero padding outside.
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    ly = sy - y0
+    lx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    xf = x.reshape(B, H * W, Cin)
+
+    def corner(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        flat = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        return flat.reshape(B, -1), inb.reshape(B, -1)
+
+    f00, m00 = corner(y0i, x0i)
+    f01, m01 = corner(y0i, x0i + 1)
+    f10, m10 = corner(y0i + 1, x0i)
+    f11, m11 = corner(y0i + 1, x0i + 1)
+    lyf = ly.reshape(B, -1)
+    lxf = lx.reshape(B, -1)
+    w00 = ((1 - ly) * (1 - lx)).reshape(B, -1) * m00
+    w01 = ((1 - ly) * lx).reshape(B, -1) * m01
+    w10 = (ly * (1 - lx)).reshape(B, -1) * m10
+    w11 = (ly * lx).reshape(B, -1) * m11
+    del lyf, lxf
+
+    idx = jnp.stack([f00, f01, f10, f11], axis=2).reshape(B, -1)   # (B, N*K*4)
+    wts = jnp.stack([w00, w01, w10, w11], axis=2).reshape(B, -1).astype(x.dtype)
+    gathered = jnp.take_along_axis(xf, idx[:, :, None], axis=1)    # (B, N*K*4, Cin)
+    sampled = (gathered * wts[:, :, None]).reshape(B, Ho * Wo * K, 4, Cin).sum(axis=2)
+
+    sampled = sampled.reshape(B, Ho, Wo, K, Cin) * mask[..., None].astype(x.dtype)
+    cols = sampled.reshape(B, Ho, Wo, K * Cin)
+    out = jnp.einsum("bhwk,kc->bhwc", cols, weight.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
