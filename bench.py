@@ -1,0 +1,59 @@
+"""Benchmark: flagship UniBEV (L+C CNW 256) inference samples/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The reference repo publishes no throughput numbers (BASELINE.md — published {});
+vs_baseline is computed against an assumed 2.0 samples/s for the reference
+torch/mmdet3d stack on a V100-class GPU (BEVFormer-era models run 1.5-3 fps at
+this resolution), so vs_baseline = value / 2.0.  Target from BASELINE.json:
+>= 4x => vs_baseline >= 4.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+
+def main():
+    from unibev_tpu.flagship import build_flagship, synthetic_batch
+    from unibev_tpu.models.detectors.unibev import UniBEV
+
+    model = build_flagship()
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(rng)
+
+    variables = jax.jit(lambda b: model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        b, train=False))(batch)
+
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
+    out = jax.device_get(predict(variables, batch))  # compile + warm
+    assert np.isfinite(out["bboxes"]).all()
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = predict(variables, batch)
+    jax.device_get(out["scores"])
+    dt = (time.perf_counter() - t0) / n_iters
+    samples_per_sec = 1.0 / dt
+
+    baseline = 2.0  # assumed reference GPU samples/s (no published number)
+    print(json.dumps({
+        "metric": "nuScenes-scale L+C inference samples/sec/chip",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / baseline, 3),
+        "ms_per_sample": round(dt * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

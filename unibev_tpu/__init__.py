@@ -8,3 +8,5 @@ unibev_plugin/__init__.py).
 __version__ = "0.1.0"
 
 from unibev_tpu import core  # noqa: F401
+from unibev_tpu import models  # noqa: F401
+from unibev_tpu import ops  # noqa: F401

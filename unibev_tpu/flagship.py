@@ -1,0 +1,142 @@
+"""Flagship model builder: unibev_nus_LC_cnw_256_modality_dropout at full scale.
+
+Mirrors /root/reference/projects/UniBEV/configs/unibev/
+unibev_nus_LC_cnw_256_modality_dropout.py:183-377 (dims, layer counts,
+ranges).  Used by __graft_entry__ and bench.py; the config-file path builds
+the same dict through Config.fromfile.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from unibev_tpu.models.detectors.unibev import UniBEV
+
+PC_RANGE = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+VOXEL_SIZE = (0.075, 0.075, 0.2)
+DIM = 256
+
+
+def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
+                       max_voxels=120000, query_chunk=10000,
+                       fusion_method="linear",
+                       feature_norm="ChannelNormWeights",
+                       drop_modality=0.5):
+    dim = DIM
+    enc_attn = lambda: [
+        dict(type="MultiScaleDeformableAttention", embed_dims=dim, num_levels=1),
+        dict(deformable_attention=dict(embed_dims=dim, num_points=8,
+                                       num_levels=1)),
+    ]
+    return dict(
+        use_grid_mask=True,
+        use_lidar=use_lidar,
+        use_camera=use_camera,
+        img_shape=(900, 1600),
+        dtype=dtype,
+        pts_voxel_layer=dict(max_num_points=10, voxel_size=VOXEL_SIZE,
+                             point_cloud_range=PC_RANGE,
+                             max_voxels=(90000, max_voxels)),
+        pts_voxel_encoder=dict(type="HardSimpleVFE", num_features=5),
+        pts_middle_encoder=dict(in_channels=5, sparse_shape=(41, 1440, 1440),
+                                output_channels=128,
+                                encoder_channels=((16, 16, 32), (32, 32, 64),
+                                                  (64, 64, 128), (128, 128)),
+                                encoder_paddings=((0, 0, 1), (0, 0, 1),
+                                                  (0, 0, (0, 1, 1)), (0, 0)),
+                                capacities=(max_voxels, 90000, 60000, 40000)),
+        pts_backbone=dict(in_channels=256, out_channels=(128, 256),
+                          layer_nums=(5, 5), layer_strides=(1, 2)),
+        pts_neck=dict(in_channels=(128, 256), out_channels=(dim // 2, dim // 2),
+                      upsample_strides=(1, 2), use_conv_for_no_stride=True),
+        img_backbone=dict(depth=101, num_stages=4, out_indices=(3,),
+                          frozen_stages=1, style="caffe", with_cp=True,
+                          dcn=dict(type="DCNv2", deform_groups=1),
+                          stage_with_dcn=(False, False, True, True)),
+        img_neck=dict(in_channels=(2048,), out_channels=dim, num_outs=1,
+                      start_level=0, add_extra_convs="on_output",
+                      relu_before_extra_convs=True),
+        pts_bbox_head=dict(
+            num_classes=10, in_channels=dim, num_query=900,
+            bev_h=200, bev_w=200, sync_cls_avg_factor=True,
+            with_box_refine=True, as_two_stage=False,
+            query_chunk=query_chunk,
+            transformer=dict(
+                embed_dims=dim,
+                fusion_method=fusion_method,
+                feature_norm=feature_norm,
+                drop_modality=drop_modality,
+                num_cams=6,
+                img_encoder=dict(num_layers=3, pc_range=PC_RANGE,
+                                 num_points_in_pillar=4,
+                                 transformerlayers=dict(
+                                     attn_cfgs=enc_attn(),
+                                     feedforward_channels=dim * 2)),
+                pts_encoder=dict(num_layers=3, pc_range=PC_RANGE,
+                                 num_points_in_pillar_lidar=4,
+                                 transformerlayers=dict(
+                                     attn_cfgs=enc_attn(),
+                                     feedforward_channels=dim * 2)),
+                decoder=dict(num_layers=6,
+                             transformerlayers=dict(
+                                 attn_cfgs=[
+                                     dict(embed_dims=dim, num_heads=8,
+                                          dropout=0.1),
+                                     dict(embed_dims=dim, num_levels=1),
+                                 ],
+                                 feedforward_channels=dim * 2))),
+            bbox_coder=dict(post_center_range=(-61.2, -61.2, -10.0, 61.2,
+                                               61.2, 10.0),
+                            pc_range=PC_RANGE, max_num=300, num_classes=10),
+            positional_encoding=dict(num_feats=dim // 2, row_num_embed=200,
+                                     col_num_embed=200),
+            loss_cls=dict(use_sigmoid=True, gamma=2.0, alpha=0.25,
+                          loss_weight=2.0),
+            loss_bbox=dict(loss_weight=0.25),
+            pc_range=PC_RANGE),
+        train_cfg=dict(pts=dict(assigner=dict(
+            cls_cost=dict(type="FocalLossCost", weight=2.0),
+            reg_cost=dict(type="BBox3DL1CostBEVFormer", weight=0.25)))),
+    )
+
+
+def build_flagship(**kwargs) -> UniBEV:
+    return UniBEV(**flagship_model_cfg(**kwargs))
+
+
+def synthetic_batch(rng: np.random.RandomState, B=1, N=6, H=928, W=1600,
+                    P=300000, G=64, img_hw=(900, 1600)):
+    """Realistic-scale synthetic batch (nuScenes geometry)."""
+    img = rng.randn(B, N, H, W, 3).astype(np.float32)
+    points = np.empty((B, P, 5), np.float32)
+    points[..., 0] = rng.uniform(-54, 54, (B, P))
+    points[..., 1] = rng.uniform(-54, 54, (B, P))
+    points[..., 2] = rng.uniform(-3, 1, (B, P))
+    points[..., 3:] = rng.rand(B, P, 2)
+    l2i = np.zeros((B, N, 4, 4), np.float32)
+    f = 1266.0
+    for n in range(N):
+        K = np.array([[f, 0., img_hw[1] / 2, 0.], [0., f, img_hw[0] / 2, 0.],
+                      [0., 0., 1., 0.], [0., 0., 0., 1.]], np.float32)
+        th = n * np.pi / 3
+        R = np.eye(4, dtype=np.float32)
+        R[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0.],
+                              [0., 0., -1.],
+                              [np.sin(th), np.cos(th), 0.]], np.float32)
+        l2i[:, n] = K @ R
+    gt = np.zeros((B, G, 9), np.float32)
+    gt[..., 0:2] = rng.uniform(-50, 50, (B, G, 2))
+    gt[..., 2] = rng.uniform(-2, 0, (B, G))
+    gt[..., 3:6] = rng.uniform(0.5, 4.0, (B, G, 3))
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (B, G))
+    labels = rng.randint(0, 10, (B, G))
+    valid = np.arange(G)[None, :] < 40
+    valid = np.broadcast_to(valid, (B, G))
+    return dict(img=jnp.asarray(img),
+                points=jnp.asarray(points),
+                points_mask=jnp.ones((B, P), bool),
+                lidar2img=jnp.asarray(l2i),
+                gt_bboxes=jnp.asarray(gt),
+                gt_labels=jnp.asarray(labels),
+                gt_valid=jnp.asarray(valid))

@@ -109,6 +109,8 @@ class CustomMSDeformableAttention(MSDAttention):
     """Decoder cross-attention — same math as MSDAttention (decoder.py:131-338)."""
 
 
+@ATTENTION.register_module(name="MSDeformableAttention3DImg")
+@ATTENTION.register_module(name="MSDeformableAttention3DPts")
 class MSDeformableAttention3D(nn.Module):
     """Inner deformable attention of both SCAs — NO output proj / residual.
 

@@ -1,0 +1,249 @@
+"""UniBEV detection head (DETR3D/BEVFormer-style, NMS-free).
+
+Contract from /root/reference/projects/UniBEV/unibev_plugin/models/
+dense_heads/unibev_head.py:
+  * BEV query embedding (bev_h*bev_w x C; doubled when dual_queries,
+    :125-135) + object query embedding (900 x 2*C_dec);
+  * per-decoder-layer cls/reg branches (independent copies because
+    with_box_refine, :91-123);
+  * per-layer box decode (:204-229): xy/z from inverse-sigmoid-space
+    refinement against the layer's reference points, denormalized to
+    pc_range; sizes stay in log space; 10-dof layout of core/bbox/util.py;
+  * loss (:354-509): Hungarian assignment per (sample, layer), sigmoid focal
+    classification (background = num_classes) with a globally-synced average
+    factor, L1 on normalized boxes with code_weights [1]*8 + [0.2, 0.2] and
+    an isnotnan guard (nuScenes velocity can be NaN);
+  * get_bboxes (:511-538): NMSFreeCoder top-k on the last layer, z shifted
+    by -h/2 (gravity center -> box bottom).
+
+All batch items are padded to a fixed max-GT count with validity masks, so
+the whole loss jits once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unibev_tpu.core.bbox.assigners import HungarianAssigner3D
+from unibev_tpu.core.bbox.coders import NMSFreeCoder
+from unibev_tpu.core.bbox.util import normalize_bbox
+from unibev_tpu.models.layers import LearnedPositionalEncoding, inverse_sigmoid
+from unibev_tpu.models.transformer_fusion import UniBEVTransformer
+from unibev_tpu.ops.losses import l1_loss, sigmoid_focal_loss
+from unibev_tpu.registry import HEADS
+
+
+class Branch(nn.Module):
+    """cls branch: (Dense+LN+ReLU)*2 + Dense; reg branch: (Dense+ReLU)*2 + Dense."""
+
+    out_dims: int
+    hidden: int
+    kind: str = "reg"
+    num_fcs: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_fcs):
+            x = nn.Dense(self.hidden, dtype=self.dtype, name=f"fc{i}")(x)
+            if self.kind == "cls":
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out_dims, dtype=self.dtype, name="out")(x)
+
+
+@HEADS.register_module(name="UniBEV_Head")
+class UniBEVHead(nn.Module):
+    num_classes: int = 10
+    in_channels: int = 256
+    num_query: int = 900
+    bev_h: int = 200
+    bev_w: int = 200
+    sync_cls_avg_factor: bool = True
+    with_box_refine: bool = True
+    as_two_stage: bool = False
+    dual_queries: bool = False
+    code_size: int = 10
+    code_weights: Sequence[float] = (1.0,) * 8 + (0.2, 0.2)
+    pc_range: Sequence[float] = (-54, -54, -5, 54, 54, 3)
+    transformer: Optional[dict] = None
+    bbox_coder: Optional[dict] = None
+    positional_encoding: Optional[dict] = None
+    loss_cls: Optional[dict] = None
+    loss_bbox: Optional[dict] = None
+    loss_iou: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    num_reg_fcs: int = 2
+    use_img: bool = True
+    use_pts: bool = True
+    query_chunk: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        tcfg = dict(self.transformer or {})
+        tcfg.pop("type", None)
+        fusion = tcfg.get("fusion_method", "linear")
+        self.fusion_method = fusion
+        self.dec_dims = self.in_channels * (2 if fusion == "cat" else 1)
+        self.tfm = UniBEVTransformer(
+            embed_dims=tcfg.get("embed_dims", self.in_channels),
+            num_cams=tcfg.get("num_cams", 6),
+            fusion_method=fusion,
+            feature_norm=tcfg.get("feature_norm"),
+            spatial_norm=tcfg.get("spatial_norm"),
+            use_modal_embeds=tcfg.get("use_modal_embeds"),
+            drop_modality=tcfg.get("drop_modality"),
+            dual_queries=tcfg.get("dual_queries", self.dual_queries),
+            bev_h=self.bev_h, bev_w=self.bev_w,
+            img_encoder=tcfg.get("img_encoder"),
+            pts_encoder=tcfg.get("pts_encoder"),
+            decoder=tcfg.get("decoder"),
+            use_img=self.use_img, use_pts=self.use_pts,
+            query_chunk=self.query_chunk,
+            dtype=self.dtype, name="transformer")
+
+        pe_cfg = dict(self.positional_encoding or {})
+        pe_cfg.pop("type", None)
+        self.pos_encoding = LearnedPositionalEncoding(
+            num_feats=pe_cfg.get("num_feats", self.in_channels // 2),
+            row_num_embed=pe_cfg.get("row_num_embed", self.bev_h),
+            col_num_embed=pe_cfg.get("col_num_embed", self.bev_w),
+            dtype=self.dtype, name="positional_encoding")
+
+        q_dims = self.in_channels * (2 if (self.dual_queries or
+                                           (self.transformer or {}).get("dual_queries"))
+                                     else 1)
+        self.bev_embedding = self.param(
+            "bev_embedding", nn.initializers.normal(1.0),
+            (self.bev_h * self.bev_w, q_dims))
+        self.query_embedding = self.param(
+            "query_embedding", nn.initializers.normal(1.0),
+            (self.num_query, self.dec_dims * 2))
+
+        num_layers = (dict(self.transformer or {}).get("decoder", {}) or {}).get(
+            "num_layers", 6)
+        self.num_dec_layers = num_layers
+        self.cls_branches = [
+            Branch(self.num_classes, self.dec_dims, kind="cls",
+                   num_fcs=self.num_reg_fcs, dtype=self.dtype,
+                   name=f"cls_branch{i}")
+            for i in range(num_layers)]
+        self.reg_branches = [
+            Branch(self.code_size, self.dec_dims, kind="reg",
+                   num_fcs=self.num_reg_fcs, dtype=self.dtype,
+                   name=f"reg_branch{i}")
+            for i in range(num_layers)]
+
+        coder_cfg = dict(self.bbox_coder or {})
+        coder_cfg.pop("type", None)
+        coder_cfg.setdefault("pc_range", tuple(self.pc_range))
+        coder_cfg.setdefault("num_classes", self.num_classes)
+        self.coder = NMSFreeCoder(**coder_cfg)
+
+        acfg = dict(((self.train_cfg or {}).get("assigner") or {}))
+        acfg.pop("type", None)
+        self.assigner = HungarianAssigner3D(**acfg)
+
+        lc = dict(self.loss_cls or {})
+        self.cls_weight = lc.get("loss_weight", 2.0)
+        self.focal_alpha = lc.get("alpha", 0.25)
+        self.focal_gamma = lc.get("gamma", 2.0)
+        lb = dict(self.loss_bbox or {})
+        self.bbox_weight = lb.get("loss_weight", 0.25)
+
+    def __call__(self, img_feats, pts_feats, lidar2img, img_shape,
+                 l_flag, c_flag, *, deterministic: bool = True):
+        """Returns dict(all_cls_scores (L,B,Q,ncls), all_bbox_preds (L,B,Q,10))."""
+        if img_feats is not None:
+            B = img_feats[0].shape[0]
+        else:
+            B = pts_feats[0].shape[0]
+        bev_pos = self.pos_encoding(B, self.bev_h, self.bev_w)
+
+        reg_fns = [(lambda x, b=b: b(x)) for b in self.reg_branches]
+        bev_embed, states, init_ref, refs = self.tfm(
+            img_feats, pts_feats, self.bev_embedding, self.query_embedding,
+            bev_pos, lidar2img, img_shape, l_flag, c_flag,
+            reg_branches=reg_fns if self.with_box_refine else None,
+            deterministic=deterministic)
+
+        cls_all, bbox_all = [], []
+        for l in range(states.shape[0]):
+            reference = inverse_sigmoid(refs[l])
+            cls_out = self.cls_branches[l](states[l])
+            tmp = self.reg_branches[l](states[l])
+            xy = jax.nn.sigmoid(tmp[..., 0:2] + reference[..., 0:2])
+            z = jax.nn.sigmoid(tmp[..., 4:5] + reference[..., 2:3])
+            cx = xy[..., 0:1] * (self.pc_range[3] - self.pc_range[0]) + self.pc_range[0]
+            cy = xy[..., 1:2] * (self.pc_range[4] - self.pc_range[1]) + self.pc_range[1]
+            cz = z * (self.pc_range[5] - self.pc_range[2]) + self.pc_range[2]
+            bbox = jnp.concatenate(
+                [cx, cy, tmp[..., 2:4], cz, tmp[..., 5:]], axis=-1)
+            cls_all.append(cls_out)
+            bbox_all.append(bbox)
+        return dict(all_cls_scores=jnp.stack(cls_all),
+                    all_bbox_preds=jnp.stack(bbox_all),
+                    bev_embed=bev_embed)
+
+    # ------------------------------------------------------------------ loss
+
+    def _targets_single(self, cls_score, bbox_pred, gt_bboxes, gt_labels,
+                        gt_valid):
+        """One sample, one layer -> per-query targets (static shapes)."""
+        res = self.assigner.assign(bbox_pred, cls_score, gt_bboxes, gt_labels,
+                                   gt_valid)
+        labels = jnp.where(res.pos_mask, gt_labels[res.gt_inds],
+                           self.num_classes)
+        norm_gt = normalize_bbox(gt_bboxes)          # (G, 10)
+        targets = norm_gt[res.gt_inds]               # (Q, 10)
+        bbox_weights = res.pos_mask[:, None].astype(jnp.float32)
+        return labels, targets, bbox_weights, res.pos_mask.sum()
+
+    def loss_single(self, cls_scores, bbox_preds, gt_bboxes, gt_labels,
+                    gt_valid):
+        """One decoder layer over the full (global) batch."""
+        labels, targets, bw, num_pos = jax.vmap(self._targets_single)(
+            jax.lax.stop_gradient(cls_scores),
+            jax.lax.stop_gradient(bbox_preds),
+            gt_bboxes, gt_labels, gt_valid)
+        total_pos = jnp.maximum(num_pos.sum().astype(jnp.float32), 1.0)
+
+        cls_loss = sigmoid_focal_loss(
+            cls_scores, labels, self.num_classes,
+            alpha=self.focal_alpha, gamma=self.focal_gamma).sum(-1)
+        cls_loss = self.cls_weight * cls_loss.sum() / total_pos
+
+        cw = jnp.asarray(self.code_weights, jnp.float32)
+        diff = l1_loss(bbox_preds, targets) * bw * cw[None, None, :]
+        isnotnan = jnp.isfinite(targets).all(-1, keepdims=True)
+        diff = jnp.where(isnotnan, diff, 0.0)
+        bbox_loss = self.bbox_weight * diff.sum() / total_pos
+        return cls_loss, bbox_loss
+
+    def loss(self, preds: Dict[str, jnp.ndarray], gt_bboxes, gt_labels,
+             gt_valid) -> Dict[str, jnp.ndarray]:
+        """gt_bboxes: (B, G, 9); gt_labels: (B, G); gt_valid: (B, G) bool."""
+        all_cls = preds["all_cls_scores"]
+        all_bbox = preds["all_bbox_preds"]
+        L = all_cls.shape[0]
+        losses = {}
+        for l in range(L):
+            cls_l, bbox_l = self.loss_single(all_cls[l], all_bbox[l],
+                                             gt_bboxes, gt_labels, gt_valid)
+            prefix = "" if l == L - 1 else f"d{l}."
+            losses[f"{prefix}loss_cls"] = cls_l
+            losses[f"{prefix}loss_bbox"] = bbox_l
+        return losses
+
+    def get_bboxes(self, preds: Dict[str, jnp.ndarray]):
+        out = self.coder.decode(preds["all_cls_scores"],
+                                preds["all_bbox_preds"])
+        boxes = out["bboxes"]
+        boxes = boxes.at[..., 2].add(-0.5 * boxes[..., 5])
+        out["bboxes"] = boxes
+        return out

@@ -1,0 +1,1 @@
+from unibev_tpu.ops import losses  # noqa: F401 (registration)

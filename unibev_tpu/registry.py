@@ -52,7 +52,8 @@ def build_from_cfg(cfg: Dict[str, Any], registry: Registry, **default_kwargs) ->
     """
     if cfg is None:
         return None
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    from collections.abc import Mapping
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise TypeError(f"cfg must be a dict with a 'type' key, got {cfg!r}")
     args = dict(cfg)
     obj_type = args.pop("type")
