@@ -1,0 +1,41 @@
+"""Every shipped config must parse and construct its model via the registry."""
+
+import glob
+import os
+
+import pytest
+
+from unibev_tpu.config.config import Config
+from unibev_tpu.registry import DETECTORS, build_from_cfg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs/unibev/**/*.py"),
+                           recursive=True))
+
+
+def test_config_files_exist():
+    assert len(CONFIGS) == 17, CONFIGS
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_config_builds_model(path):
+    cfg = Config.fromfile(path)
+    model_cfg = cfg.model.copy()
+    # The CLIs merge input_modality into the detector the same way.
+    model_cfg.setdefault("use_lidar", cfg.input_modality["use_lidar"])
+    model_cfg.setdefault("use_camera", cfg.input_modality["use_camera"])
+    model = build_from_cfg(dict(model_cfg), DETECTORS)
+    assert model is not None
+    assert model.pts_bbox_head["num_query"] == 900
+    # fusion/feature_norm deltas land in the transformer cfg
+    t = model.pts_bbox_head["transformer"]
+    if "cat_128" in path:
+        assert t["fusion_method"] == "cat"
+        assert t["embed_dims"] == 128
+    if "avg_256" in path:
+        assert t["fusion_method"] == "avg"
+        assert t["feature_norm"] is None
+    if "dual_queries" in path:
+        assert t["dual_queries"] is True
+    if "ablation_md" in path:
+        assert isinstance(t["drop_modality"], dict)

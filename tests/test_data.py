@@ -1,0 +1,106 @@
+"""Data layer: pipelines, synthetic + pickle-backed dataset, eval metric."""
+
+import numpy as np
+import pytest
+
+from unibev_tpu.data.eval import evaluate_detections
+from unibev_tpu.data.pipelines import (Compose, NormalizeMultiviewImage,
+                                       ObjectRangeFilter, PadMultiViewImage,
+                                       PadShapes, PointsRangeFilter)
+
+
+def test_pad_multiview():
+    imgs = [np.ones((900, 1600, 3), np.float32)] * 2
+    res = PadMultiViewImage(size_divisor=32)({"img": imgs})
+    assert all(im.shape == (928, 1600, 3) for im in res["img"])
+    assert np.all(res["img"][0][900:] == 0)
+
+
+def test_normalize_caffe_bgr():
+    img = np.full((4, 4, 3), 128.0, np.float32)
+    res = NormalizeMultiviewImage(
+        mean=[103.530, 116.280, 123.675], std=[1.0, 1.0, 1.0],
+        to_rgb=False)({"img": [img]})
+    np.testing.assert_allclose(res["img"][0][0, 0],
+                               [128 - 103.530, 128 - 116.280, 128 - 123.675],
+                               atol=1e-4)
+
+
+def test_range_filters_and_padding():
+    pts = np.array([[0, 0, 0, 1, 0], [100, 0, 0, 1, 0]], np.float32)
+    boxes = np.array([[0, 0, 0, 1, 1, 1, 0, 0, 0],
+                      [99, 99, 0, 1, 1, 1, 0, 0, 0]], np.float32)
+    res = {"points": pts, "gt_bboxes_3d": boxes,
+           "gt_labels_3d": np.array([1, 2])}
+    res = PointsRangeFilter([-54, -54, -5, 54, 54, 3])(res)
+    res = ObjectRangeFilter([-54, -54, -5, 54, 54, 3])(res)
+    assert len(res["points"]) == 1 and len(res["gt_bboxes_3d"]) == 1
+    res = PadShapes(max_points=16, max_gt=4)(res)
+    assert res["points"].shape == (16, 5)
+    assert res["points_mask"].sum() == 1
+    assert res["gt_bboxes"].shape == (4, 9)
+    assert res["gt_valid"].sum() == 1
+    assert res["gt_labels"][0] == 1
+
+
+def test_pickle_dataset(tmp_path):
+    import pickle
+    infos = []
+    for i in range(3):
+        pts = np.random.randn(100, 5).astype(np.float32)
+        pts_path = tmp_path / f"pts{i}.bin"
+        pts.tofile(pts_path)
+        infos.append(dict(
+            token=f"t{i}", lidar_path=str(pts_path), sweeps=[],
+            timestamp=i * 1e6,
+            gt_boxes=np.array([[1.0, 2, 0, 2, 2, 2, 0]], np.float32),
+            gt_names=["car"], gt_velocity=np.array([[0.5, 0.1]], np.float32),
+            num_lidar_pts=np.array([10]),
+            valid_flag=np.array([True]),
+        ))
+    ann = tmp_path / "infos.pkl"
+    with open(ann, "wb") as f:
+        pickle.dump(dict(infos=infos, metadata=dict(version="test")), f)
+
+    from unibev_tpu.data.nuscenes_dataset import NuScenesDataset
+    ds = NuScenesDataset(
+        ann_file=str(ann), data_root=str(tmp_path),
+        pipeline=[
+            dict(type="LoadPointsFromFile", load_dim=5, use_dim=5),
+            dict(type="LoadAnnotations3D"),
+            dict(type="PointsRangeFilter",
+                 point_cloud_range=[-54, -54, -5, 54, 54, 3]),
+            dict(type="CustomCollect3D",
+                 keys=["points", "gt_bboxes_3d", "gt_labels_3d"]),
+        ],
+        modality=dict(use_lidar=True, use_camera=False),
+        use_valid_flag=True, max_points=256, max_gt=8)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["points"].shape == (256, 5)
+    assert s["gt_bboxes"].shape == (8, 9)
+    assert s["gt_valid"].sum() == 1
+    # velocity appended -> 9-dof
+    np.testing.assert_allclose(s["gt_bboxes"][0, 7:9], [0.5, 0.1])
+
+
+def test_eval_perfect_predictions():
+    gts = [dict(boxes=np.array([[0, 0, 0, 2, 2, 2, 0.3, 1, 0],
+                                [10, 10, 0, 1, 1, 1, 0, 0, 0]], np.float32),
+                labels=np.array([0, 1]))]
+    preds = [dict(boxes=gts[0]["boxes"].copy(),
+                  scores=np.array([0.9, 0.8]),
+                  labels=np.array([0, 1]))]
+    m = evaluate_detections(preds, gts, ["car", "truck"])
+    assert m["mAP"] > 0.95
+    assert m["NDS"] > 0.95
+    assert m["mtrans_err"] < 1e-6
+
+
+def test_eval_wrong_positions():
+    gts = [dict(boxes=np.array([[0, 0, 0, 2, 2, 2, 0, 0, 0]], np.float32),
+                labels=np.array([0]))]
+    preds = [dict(boxes=np.array([[30, 30, 0, 2, 2, 2, 0, 0, 0]], np.float32),
+                  scores=np.array([0.9]), labels=np.array([0]))]
+    m = evaluate_detections(preds, gts, ["car"])
+    assert m["mAP"] == 0.0

@@ -34,9 +34,14 @@ def torch_msda(value, spatial_shapes, sampling_locations, attention_weights):
     return res.transpose(1, 2).contiguous()
 
 
-@pytest.mark.parametrize("levels,chunk", [(((12, 20),), 0), (((12, 20), (6, 10)), 0),
-                                          (((12, 20),), 8)])
-def test_msda_matches_torch(levels, chunk):
+@pytest.mark.parametrize("levels,chunk,method", [
+    (((12, 20),), 0, "auto"),
+    (((12, 20), (6, 10)), 0, "auto"),
+    (((12, 20),), 8, "onehot"),
+    (((12, 20),), 0, "slab"),
+    (((60, 60),), 0, "slab"),
+])
+def test_msda_matches_torch(levels, chunk, method):
     rng = np.random.RandomState(3)
     B, Q, H, D, P = 2, 32, 4, 8, 5
     num_value = sum(h * w for h, w in levels)
@@ -47,7 +52,8 @@ def test_msda_matches_torch(levels, chunk):
     attn /= attn.sum(axis=(3, 4), keepdims=True)
 
     ours = np.array(ms_deform_attn(jnp.array(value), levels, jnp.array(loc),
-                                   jnp.array(attn), query_chunk=chunk))
+                                   jnp.array(attn), query_chunk=chunk,
+                                   method=method))
     ref = torch_msda(torch.from_numpy(value), levels,
                      torch.from_numpy(loc), torch.from_numpy(attn)).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Train CLI — flag surface mirrors the reference tools/train_UniBEV.py
+(/root/reference/tools/train_UniBEV.py:29-99): config, --work-dir,
+--resume-from, --no-validate, --seed, --deterministic, --cfg-options,
+--autoscale-lr.  Launcher flags are accepted for compatibility; on TPU the
+runtime is a single process owning all local devices (multi-host via
+``jax.distributed.initialize`` when JAX_COORDINATOR is set).
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train UniBEV (TPU)")
+    p.add_argument("config", help="train config file path")
+    p.add_argument("--work-dir", help="dir to save logs and checkpoints")
+    p.add_argument("--resume-from", help="checkpoint dir to resume from")
+    p.add_argument("--load-from", help="checkpoint to warm start from")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true",
+                   help="accepted for parity; seeded jax.random is "
+                        "deterministic by construction")
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="key=value dotted config overrides")
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="scale lr linearly with device count (8-device base)")
+    p.add_argument("--launcher", default="none",
+                   choices=["none", "pytorch", "slurm", "mpi", "tpu"],
+                   help="accepted for config parity; ignored on TPU")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total train steps (smoke tests)")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="use the synthetic dataset (no nuScenes on disk)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import numpy as np
+
+    from unibev_tpu.config.config import Config, parse_cfg_option_value
+    from unibev_tpu.data.nuscenes_dataset import (NuScenesDataset,
+                                                  SyntheticNuScenes, collate)
+    from unibev_tpu.registry import DETECTORS, build_from_cfg
+    from unibev_tpu.runtime.logging_utils import (MetricsLogger, collect_env,
+                                                  get_root_logger)
+    from unibev_tpu.runtime.train_loop import Runner
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        opts = {}
+        for kv in args.cfg_options:
+            k, v = kv.split("=", 1)
+            opts[k] = parse_cfg_option_value(v)
+        cfg.merge_from_dict(opts)
+
+    # work_dir precedence: CLI > cfg > config filename (reference :136-143).
+    if args.work_dir:
+        work_dir = args.work_dir
+    elif cfg.get("work_dir"):
+        work_dir = cfg.work_dir
+    else:
+        work_dir = osp.join("./work_dirs",
+                            osp.splitext(osp.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+
+    if args.autoscale_lr:
+        cfg.optimizer["lr"] = cfg.optimizer["lr"] * jax.device_count() / 8
+
+    timestamp = time.strftime("%Y%m%d_%H%M%S", time.localtime())
+    logger = get_root_logger(osp.join(work_dir, f"{timestamp}.log"),
+                             cfg.get("log_level", "INFO"))
+    cfg.dump(osp.join(work_dir, osp.basename(args.config)))
+    logger.info(f"Environment: {collect_env()}")
+    logger.info(f"Config:\n{cfg.pretty_text}")
+    logger.info(f"Set random seed to {args.seed}")
+
+    model_cfg = dict(cfg.model)
+    model_cfg.setdefault("use_lidar", cfg.input_modality["use_lidar"])
+    model_cfg.setdefault("use_camera", cfg.input_modality["use_camera"])
+    model = build_from_cfg(model_cfg, DETECTORS)
+
+    from unibev_tpu.registry import DATASETS
+    train_cfg_d = dict(cfg.data["train"]) if cfg.get("data") else {}
+    if args.synthetic_data or train_cfg_d.get("type") == "SyntheticNuScenes":
+        keep = ("length", "num_cams", "img_hw", "max_points", "max_gt", "seed")
+        train_ds = SyntheticNuScenes(
+            **{k: v for k, v in train_cfg_d.items() if k in keep})
+        val_ds = None
+    else:
+        train_ds = build_from_cfg(train_cfg_d, DATASETS)
+        val_ds = None
+        if not args.no_validate and cfg.data.get("val"):
+            val_ds = build_from_cfg(dict(cfg.data["val"]), DATASETS)
+
+    runner = Runner(model, train_ds, cfg, work_dir, logger,
+                    val_dataset=val_ds, seed=args.seed)
+
+    spg = int(cfg.get("samples_per_gpu", 1))
+    B = spg * jax.device_count()
+
+    def batch_iter():
+        order = np.random.RandomState(args.seed).permutation(len(train_ds))
+        buf = []
+        n_steps = 0
+        for i in order:
+            buf.append(train_ds[int(i)])
+            if len(buf) == B:
+                yield collate(buf)
+                buf = []
+                n_steps += 1
+                if args.max_steps and n_steps >= args.max_steps:
+                    return
+
+    first = next(iter(batch_iter()))
+    first = {k: v for k, v in first.items() if k != "img_metas"}
+    state = runner.init_state(first, load_from=args.load_from or cfg.get("load_from"),
+                              resume_from=args.resume_from or cfg.get("resume_from"))
+    logger.info("train state initialized; starting loop")
+
+    if args.max_steps:
+        runner.max_epochs = 1
+
+    state = runner.run(state, batch_iter)
+    runner.ckpt.save(int(state.step), jax.device_get(state))
+    logger.info("training finished")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,3 +10,4 @@ __version__ = "0.1.0"
 from unibev_tpu import core  # noqa: F401
 from unibev_tpu import models  # noqa: F401
 from unibev_tpu import ops  # noqa: F401
+from unibev_tpu import data  # noqa: F401

@@ -8,10 +8,19 @@ the same dict through Config.fromfile.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from unibev_tpu.models.detectors.unibev import UniBEV
+
+# Persistent compilation cache: flagship-scale graphs take minutes to build
+# through the axon remote-compile tunnel; cache them across processes.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 PC_RANGE = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
 VOXEL_SIZE = (0.075, 0.075, 0.2)
@@ -24,7 +33,13 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
                        feature_norm="ChannelNormWeights",
                        drop_modality=0.5):
     dim = DIM
-    enc_attn = lambda: [
+    img_attn = [
+        dict(type="MultiScaleDeformableAttention", embed_dims=dim, num_levels=1),
+        dict(deformable_attention=dict(embed_dims=dim, num_points=8,
+                                       num_levels=1),
+             rebatch_k=12800),
+    ]
+    pts_attn = [
         dict(type="MultiScaleDeformableAttention", embed_dims=dim, num_levels=1),
         dict(deformable_attention=dict(embed_dims=dim, num_points=8,
                                        num_levels=1)),
@@ -71,12 +86,12 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
                 img_encoder=dict(num_layers=3, pc_range=PC_RANGE,
                                  num_points_in_pillar=4,
                                  transformerlayers=dict(
-                                     attn_cfgs=enc_attn(),
+                                     attn_cfgs=img_attn,
                                      feedforward_channels=dim * 2)),
                 pts_encoder=dict(num_layers=3, pc_range=PC_RANGE,
                                  num_points_in_pillar_lidar=4,
                                  transformerlayers=dict(
-                                     attn_cfgs=enc_attn(),
+                                     attn_cfgs=pts_attn,
                                      feedforward_channels=dim * 2)),
                 decoder=dict(num_layers=6,
                              transformerlayers=dict(

@@ -166,13 +166,20 @@ class SpatialCrossAttentionImg(nn.Module):
     deformable_attention: Optional[dict] = None
     pc_range: Optional[tuple] = None
     query_chunk: int = 0
+    # Static per-camera query capacity (the TPU analog of the reference's
+    # dynamic nonzero rebatch, spatial_cross_attention_img.py:141-170): only
+    # the top-K queries whose pillars project into each camera run through
+    # the deformable attention. 0 = masked dense (all queries, exact but 4x
+    # the work at nuScenes FOVs).
+    rebatch_k: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, query, value, reference_points_cam, bev_mask,
-                 spatial_shapes, *, deterministic: bool = True):
+                 spatial_shapes, topk_idx=None, *, deterministic: bool = True):
         """query: (B, Q, C); value: (B, num_cam, V, C);
-        reference_points_cam: (B, num_cam, Q, Z, 2); bev_mask: (B, num_cam, Q)."""
+        reference_points_cam: (B, num_cam, Q, Z, 2); bev_mask: (B, num_cam, Q);
+        topk_idx: (B, num_cam, K) precomputed hit-query indices (optional)."""
         B, Q, C = query.shape
         num_cam = value.shape[1]
         da_cfg = dict(self.deformable_attention or {})
@@ -180,18 +187,38 @@ class SpatialCrossAttentionImg(nn.Module):
         da_cfg.setdefault("embed_dims", self.embed_dims)
         da = MSDeformableAttention3D(dtype=self.dtype, query_chunk=self.query_chunk,
                                      name="deformable_attention", **da_cfg)
-
-        # Fold cameras into batch; queries broadcast across cameras.
-        q_b = jnp.broadcast_to(query[:, None], (B, num_cam, Q, C)).reshape(
-            B * num_cam, Q, C)
         v_b = value.reshape(B * num_cam, -1, C)
-        ref_b = reference_points_cam.reshape(B * num_cam, Q, -1, 2)
-        out = da(q_b, v_b, ref_b, spatial_shapes)      # (B*cam, Q, C)
-        out = out.reshape(B, num_cam, Q, C)
+        hit = bev_mask.astype(query.dtype)             # (B, cam, Q)
 
-        hit = bev_mask.astype(out.dtype)               # (B, cam, Q)
-        slots = (out * hit[..., None]).sum(axis=1)
-        count = jnp.maximum(hit.sum(axis=1), 1.0)
+        if self.rebatch_k and topk_idx is not None:
+            K = topk_idx.shape[-1]
+            Z = reference_points_cam.shape[3]
+            q_reb = jnp.take_along_axis(
+                jnp.broadcast_to(query[:, None], (B, num_cam, Q, C)),
+                topk_idx[..., None], axis=2)           # (B, cam, K, C)
+            ref_reb = jnp.take_along_axis(
+                reference_points_cam.reshape(B, num_cam, Q, Z * 2),
+                topk_idx[..., None], axis=2).reshape(B, num_cam, K, Z, 2)
+            sel_hit = jnp.take_along_axis(hit, topk_idx, axis=2)  # (B,cam,K)
+            out = da(q_reb.reshape(B * num_cam, K, C), v_b,
+                     ref_reb.reshape(B * num_cam, K, Z, 2), spatial_shapes)
+            out = out.reshape(B, num_cam, K, C) * sel_hit[..., None]
+            # scatter-add back into the full query grid
+            slots = jnp.zeros((B, Q, C), out.dtype)
+            bidx = jnp.broadcast_to(jnp.arange(B)[:, None, None],
+                                    (B, num_cam, K))
+            slots = slots.at[bidx.reshape(-1), topk_idx.reshape(-1)].add(
+                out.reshape(-1, C), mode="drop")
+            count = jnp.maximum(hit.sum(axis=1), 1.0)
+        else:
+            q_b = jnp.broadcast_to(query[:, None], (B, num_cam, Q, C)).reshape(
+                B * num_cam, Q, C)
+            ref_b = reference_points_cam.reshape(B * num_cam, Q, -1, 2)
+            out = da(q_b, v_b, ref_b, spatial_shapes)  # (B*cam, Q, C)
+            out = out.reshape(B, num_cam, Q, C)
+            slots = (out * hit[..., None]).sum(axis=1)
+            count = jnp.maximum(hit.sum(axis=1), 1.0)
+
         slots = slots / count[..., None]
         slots = nn.Dense(self.embed_dims, kernel_init=xavier_uniform,
                          dtype=self.dtype, name="output_proj")(slots)

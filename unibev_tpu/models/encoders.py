@@ -99,7 +99,8 @@ class BEVEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, value, bev_pos, ref_2d, bev_hw, ref_cross,
-                 hit_mask, value_shapes, *, deterministic: bool = True):
+                 hit_mask, value_shapes, topk_idx=None,
+                 *, deterministic: bool = True):
         tsa_cfg = {k: v for k, v in dict(self.tsa_cfg or {}).items() if k != "type"}
         sca_cfg = {k: v for k, v in dict(self.sca_cfg or {}).items() if k != "type"}
         query = MSDAttention(dtype=self.dtype, query_chunk=self.query_chunk,
@@ -112,7 +113,7 @@ class BEVEncoderLayer(nn.Module):
                 embed_dims=self.embed_dims, dtype=self.dtype,
                 query_chunk=self.query_chunk, name="cross_attn",
                 **sca_cfg)(query, value, ref_cross, hit_mask, value_shapes,
-                           deterministic=deterministic)
+                           topk_idx=topk_idx, deterministic=deterministic)
         else:
             query = SpatialCrossAttentionPts(
                 embed_dims=self.embed_dims, dtype=self.dtype,
@@ -151,6 +152,16 @@ class ImgEncoder(nn.Module):
         ref_cam, mask = point_sampling_img(ref_3d, self.pc_range, lidar2img,
                                            img_shape)
         hit = jnp.any(mask, axis=-1)                    # (B, N, Q)
+
+        # Per-camera top-K hit-query indices, computed ONCE and reused by
+        # every layer (the hit pattern is geometry-only).
+        topk_idx = None
+        rebatch_k = int((self.sca_cfg or {}).get("rebatch_k", 0) or 0)
+        if rebatch_k:
+            K = min(rebatch_k, bev_h * bev_w)
+            order = jnp.argsort(~hit, axis=-1, stable=True)  # hits first
+            topk_idx = order[..., :K].astype(jnp.int32)       # (B, N, K)
+
         for i in range(self.num_layers):
             bev_query = BEVEncoderLayer(
                 embed_dims=self.embed_dims, ffn_dims=self.ffn_dims,
@@ -158,7 +169,8 @@ class ImgEncoder(nn.Module):
                 query_chunk=self.query_chunk, dtype=self.dtype,
                 name=f"layer{i}")(
                 bev_query, value, bev_pos, ref_2d, (bev_h, bev_w),
-                ref_cam, hit, value_shapes, deterministic=deterministic)
+                ref_cam, hit, value_shapes, topk_idx=topk_idx,
+                deterministic=deterministic)
         return bev_query
 
 

@@ -1,0 +1,135 @@
+"""Epoch-based training loop (mmcv EpochBasedRunner analog).
+
+Covers the reference's L5 runtime (SURVEY §1): epoch workflow
+[('train', 1), ('val', 1)] (config :417), per-iter metric logging at the
+reference interval, checkpoint cadence (every `interval` epochs + every epoch
+from `late_stage_start` — CheckpointLateStageHook), resume, and eval hook.
+Data-parallel: the global batch is sharded over the 'data' mesh axis; the
+train step itself is built by unibev_tpu.parallel.train_state.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unibev_tpu.parallel.train_state import (TrainState, create_train_state,
+                                             make_optimizer, make_train_step)
+from unibev_tpu.runtime.checkpoints import CheckpointManager
+from unibev_tpu.runtime.logging_utils import MetricsLogger
+
+
+class Runner:
+    def __init__(self, model, dataset, cfg, work_dir: str, logger,
+                 val_dataset=None, eval_fn: Optional[Callable] = None,
+                 mesh: Optional[Mesh] = None, seed: int = 0):
+        self.model = model
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.eval_fn = eval_fn
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.logger = logger
+        self.seed = seed
+
+        self.samples_per_step = int(cfg.get("samples_per_gpu", 1)) * jax.device_count()
+        self.max_epochs = int(cfg.get("max_epochs",
+                                      cfg.get("total_epochs", 36)))
+        steps_per_epoch = max(1, len(dataset) // self.samples_per_step)
+        total_steps = steps_per_epoch * self.max_epochs
+        self.steps_per_epoch = steps_per_epoch
+
+        opt_cfg = dict(cfg.get("optimizer", {}))
+        lr_cfg = dict(cfg.get("lr_config", {}))
+        clip = dict(cfg.get("optimizer_config", {}) or {}).get(
+            "grad_clip", {}).get("max_norm", 35.0)
+        self.tx, self.lr_schedule = make_optimizer(
+            base_lr=opt_cfg.get("lr", 2e-4),
+            weight_decay=opt_cfg.get("weight_decay", 0.01),
+            total_steps=total_steps,
+            warmup_iters=lr_cfg.get("warmup_iters", 500),
+            warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
+            min_lr_ratio=lr_cfg.get("min_lr_ratio", 1e-3),
+            grad_clip=clip)
+
+        self.mesh = mesh or Mesh(np.array(jax.devices()), ("data",))
+        self._repl = NamedSharding(self.mesh, P())
+
+        late = None
+        for hook in cfg.get("custom_hooks", []) or []:
+            if hook.get("type") == "CheckpointLateStageHook":
+                late = hook.get("start")
+        self.ckpt = CheckpointManager(
+            osp.join(work_dir, "checkpoints"),
+            interval=dict(cfg.get("checkpoint_config", {}) or {}).get("interval", 6),
+            late_stage_start=late)
+
+        self.metrics = MetricsLogger(
+            work_dir, logger,
+            interval=dict(cfg.get("log_config", {}) or {}).get("interval", 10))
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, example_batch: Dict[str, Any],
+                   load_from: Optional[str] = None,
+                   resume_from: Optional[str] = None) -> TrainState:
+        rngs = dict(params=jax.random.PRNGKey(self.seed),
+                    gridmask=jax.random.PRNGKey(self.seed + 1),
+                    modality=jax.random.PRNGKey(self.seed + 2),
+                    dropout=jax.random.PRNGKey(self.seed + 3))
+        single = jax.tree.map(lambda x: x[:1], example_batch)
+        variables = self.model.init(rngs, single, train=True)
+        if load_from:
+            from unibev_tpu.runtime.checkpoints import load_params
+            loaded = load_params(load_from, variables)
+            variables = loaded
+            self.logger.info(f"warm-started from {load_from}")
+        state = create_train_state(variables, self.tx,
+                                   jax.random.PRNGKey(self.seed + 7))
+        if resume_from or self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                self.logger.info(f"resumed at step {int(state.step)}")
+        return jax.device_put(state, self._repl)
+
+    def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        out = {}
+        for k, v in batch.items():
+            if k == "img_metas":
+                continue
+            v = np.asarray(v)
+            out[k] = jax.device_put(
+                v, NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1)))))
+        return out
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, state: TrainState, batch_iter_fn: Callable[[], Iterable],
+            start_epoch: int = 0) -> TrainState:
+        train_step = jax.jit(make_train_step(self.model, self.tx),
+                             out_shardings=(self._repl, self._repl),
+                             donate_argnums=(0,))
+        step = int(state.step)
+        for epoch in range(start_epoch, self.max_epochs):
+            for batch in batch_iter_fn():
+                sharded = self.shard_batch(batch)
+                state, metrics = train_step(state, sharded)
+                step += 1
+                if step % self.metrics.interval == 0:
+                    host = {k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+                    self.metrics.log_step(step, epoch, host,
+                                          lr=float(self.lr_schedule(step)))
+            if self.ckpt.should_save(epoch):
+                self.ckpt.save(step, jax.device_get(state))
+                self.logger.info(f"saved checkpoint at epoch {epoch + 1}")
+            if self.eval_fn is not None and self.val_dataset is not None:
+                results = self.eval_fn(state, self.val_dataset)
+                self.logger.info(f"epoch {epoch + 1} eval: {results}")
+        return state
