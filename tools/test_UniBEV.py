@@ -60,10 +60,14 @@ def main():
     model_cfg.setdefault("use_camera", cfg.input_modality["use_camera"])
     model = build_from_cfg(model_cfg, DETECTORS)
 
-    if args.synthetic_data:
-        dataset = SyntheticNuScenes(length=args.max_samples or 4)
+    test_cfg_d = dict(cfg.data["test"]) if cfg.get("data") else {}
+    if args.synthetic_data or test_cfg_d.get("type") == "SyntheticNuScenes":
+        keep = ("num_cams", "img_hw", "max_points", "max_gt", "seed")
+        dataset = SyntheticNuScenes(
+            length=args.max_samples or 4,
+            **{k: v for k, v in test_cfg_d.items() if k in keep})
     else:
-        dataset = build_from_cfg(dict(cfg.data["test"]), DATASETS)
+        dataset = build_from_cfg(test_cfg_d, DATASETS)
 
     sample = dataset[0]
     batch = collate([sample])

