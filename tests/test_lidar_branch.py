@@ -13,17 +13,17 @@ from unibev_tpu.ops.voxelize import voxelize_and_encode
 def test_sparse_encoder_end_to_end_shapes():
     """Small-scale analog of the [41,1440,1440] -> (B,180,180,256) contract."""
     rng = np.random.RandomState(0)
-    D, H, W = 9, 48, 48  # -> z: 9->5->3->1 -> ... use the real ratios instead
-    # Use a shape whose downsample chain mirrors the real one: 41-like z.
-    D, H, W = 17, 48, 48
+    # z chain mirrors the real 41->21->11->5->2: 25->13->7->3->1
+    D, H, W = 25, 48, 48
     B, V = 2, 512
     pts = rng.uniform(0, 1, (4096, 5)).astype(np.float32)
     pts[:, 0] = pts[:, 0] * 3.6 - 1.8   # x range
     pts[:, 1] = pts[:, 1] * 3.6 - 1.8
     pts[:, 2] = pts[:, 2] * 1.7 - 0.85
     res = voxelize_and_encode(jnp.array(pts), jnp.ones((4096,), bool),
-                              (0.075, 0.075, 0.1), (-1.8, -1.8, -0.85, 1.8, 1.8, 0.85),
-                              (W, H, D), V, 10)
+                              (0.075, 0.075, 1.7 / 24),
+                              (-1.8, -1.8, -0.85, 1.8, 1.8, 0.85),
+                              (W, H, 24), V, 10)
     coords = jnp.concatenate(
         [jnp.zeros((V, 1), jnp.int32), res.coords], axis=1)
     coords = jnp.where(res.mask[:, None], coords, -1)
@@ -36,7 +36,7 @@ def test_sparse_encoder_end_to_end_shapes():
     # just check H/W downsample by 8 and channels = 128 * z_out
     assert out.shape[0] == 1
     assert out.shape[1] == H // 8 and out.shape[2] == W // 8
-    assert out.shape[3] % 128 == 0
+    assert out.shape[3] == 128  # 128 ch x 1 z-slice
     assert np.isfinite(np.array(out)).all()
 
 

@@ -117,3 +117,27 @@ def test_to_dense_roundtrip():
     dense = np.array(to_dense(jnp.array(feats), grid))
     ref = dense_of(feats, coords, mask, B, D, H, W, C)
     np.testing.assert_allclose(dense, ref)
+
+
+def test_downsample_with_table_matches_sort_variant():
+    from unibev_tpu.ops.sparse_conv import downsample_with_table
+    rng = np.random.RandomState(3)
+    B, D, H, W, Cin = 2, 9, 14, 14, 3
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 120, 200)
+    stride, padding = (2, 2, 2), (1, 1, 1)
+    Do, Ho, Wo = [(s + 2 * p - 3) // st + 1 for s, p, st in
+                  zip((D, H, W), padding, stride)]
+    cap = 512
+    co1, mo1, ov1 = downsample_active_set(
+        jnp.array(coords), jnp.array(mask), (3, 3, 3), stride, padding,
+        (Do, Ho, Wo), cap, B)
+    co2, mo2, table2, ov2 = downsample_with_table(
+        jnp.array(coords), jnp.array(mask), (3, 3, 3), stride, padding,
+        (Do, Ho, Wo), cap, B)
+    assert int(ov1) == int(ov2) == 0
+    np.testing.assert_array_equal(np.array(mo1), np.array(mo2))
+    np.testing.assert_array_equal(np.array(co1), np.array(co2))
+    # returned table must equal build_table of the new grid
+    g = SparseGrid(co2, mo2, (Do, Ho, Wo), B)
+    ref_table = build_table(g)
+    np.testing.assert_array_equal(np.array(table2), np.array(ref_table))

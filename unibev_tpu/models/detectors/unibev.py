@@ -62,6 +62,11 @@ class UniBEV(nn.Module):
     img_shape: Tuple[int, int] = (900, 1600)   # normalization shape (pre-pad)
     dtype: jnp.dtype = jnp.float32
 
+    @property
+    def compute_dtype(self):
+        """Config files pass dtype as a string ('bfloat16'); coerce once."""
+        return jnp.dtype(self.dtype) if isinstance(self.dtype, str) else self.dtype
+
     def setup(self):
         if self.use_camera and self.img_backbone is not None:
             cfg = _clean(self.img_backbone)
@@ -75,7 +80,7 @@ class UniBEV(nn.Module):
                 stage_with_dcn=tuple(cfg.get("stage_with_dcn",
                                              (False, False, False, False))),
                 dcn=cfg.get("dcn"),
-                dtype=self.dtype, name="img_backbone")
+                dtype=self.compute_dtype, name="img_backbone")
             ncfg = _clean(self.img_neck)
             self.neck_img = FPN(
                 in_channels=tuple(ncfg.get("in_channels", (2048,))),
@@ -84,7 +89,7 @@ class UniBEV(nn.Module):
                 start_level=ncfg.get("start_level", 0),
                 add_extra_convs=ncfg.get("add_extra_convs", "on_output"),
                 relu_before_extra_convs=ncfg.get("relu_before_extra_convs", True),
-                dtype=self.dtype, name="img_neck")
+                dtype=self.compute_dtype, name="img_neck")
 
         if (self.use_lidar or self.use_radar) and self.pts_backbone is not None:
             bcfg = _clean(self.pts_backbone)
@@ -93,14 +98,14 @@ class UniBEV(nn.Module):
                 out_channels=tuple(bcfg.get("out_channels", (128, 256))),
                 layer_nums=tuple(bcfg.get("layer_nums", (5, 5))),
                 layer_strides=tuple(bcfg.get("layer_strides", (1, 2))),
-                dtype=self.dtype, name="pts_backbone")
+                dtype=self.compute_dtype, name="pts_backbone")
             ncfg = _clean(self.pts_neck)
             self.neck_pts = SECONDFPN(
                 in_channels=tuple(ncfg.get("in_channels", (128, 256))),
                 out_channels=tuple(ncfg.get("out_channels", (128, 128))),
                 upsample_strides=tuple(ncfg.get("upsample_strides", (1, 2))),
                 use_conv_for_no_stride=ncfg.get("use_conv_for_no_stride", True),
-                dtype=self.dtype, name="pts_neck")
+                dtype=self.compute_dtype, name="pts_neck")
 
         if self.use_lidar and self.pts_middle_encoder is not None:
             mcfg = _clean(self.pts_middle_encoder)
@@ -118,7 +123,7 @@ class UniBEV(nn.Module):
                                        (0, 0)))),
                 capacities=tuple(mcfg.get("capacities",
                                           (120000, 90000, 60000, 40000))),
-                dtype=self.dtype, name="pts_middle_encoder")
+                dtype=self.compute_dtype, name="pts_middle_encoder")
 
         if self.use_radar and self.radar_middle_encoder is not None:
             from unibev_tpu.models.radar import (PillarFeatureNet,
@@ -141,7 +146,7 @@ class UniBEV(nn.Module):
                 feat_channels=tuple(ve.get("feat_channels", (64,))),
                 voxel_size=self.radar_voxel_size,
                 point_cloud_range=self.radar_pc_range,
-                dtype=self.dtype, name="radar_voxel_encoder")
+                dtype=self.compute_dtype, name="radar_voxel_encoder")
             me = _clean(self.radar_middle_encoder)
             self.radar_scatter = PointPillarsScatter(
                 in_channels=me.get("in_channels", 64),
@@ -169,7 +174,7 @@ class UniBEV(nn.Module):
             use_img=self.use_camera,
             use_pts=self.use_lidar or self.use_radar,
             query_chunk=hcfg.get("query_chunk", 0),
-            dtype=self.dtype, name="pts_bbox_head")
+            dtype=self.compute_dtype, name="pts_bbox_head")
 
         vcfg = dict(self.pts_voxel_layer or {})
         self.voxel_size = tuple(vcfg.get("voxel_size", (0.075, 0.075, 0.2)))
@@ -192,7 +197,7 @@ class UniBEV(nn.Module):
         if self.use_grid_mask and train:
             key = self.make_rng("gridmask")
             x = grid_mask(x, key)
-        feats = self.backbone_img(x.astype(self.dtype))
+        feats = self.backbone_img(x.astype(self.compute_dtype))
         feats = self.neck_img(feats)
         return [f.reshape(B, N, *f.shape[1:]) for f in feats]
 
@@ -214,7 +219,7 @@ class UniBEV(nn.Module):
         mask = res.mask.reshape(B * V)
         coords = jnp.where(mask[:, None], coords, -1)
 
-        bev = self.middle_encoder(feats.astype(self.dtype), coords, mask, B,
+        bev = self.middle_encoder(feats.astype(self.compute_dtype), coords, mask, B,
                                   train=train)
         outs = self.backbone_pts(bev, train=train)
         return [self.neck_pts(outs, train=train)]

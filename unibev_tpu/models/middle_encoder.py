@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from unibev_tpu.ops.sparse_conv import (SparseGrid, build_table, gather_conv,
                                         downsample_active_set,
+                                        downsample_with_table,
                                         strided_neighbor_idx,
                                         subm_neighbor_idx, to_dense)
 from unibev_tpu.registry import MIDDLE_ENCODERS, VOXEL_ENCODERS
@@ -155,7 +156,7 @@ class SparseEncoder(nn.Module):
                 out_shape = tuple(
                     (s + 2 * p - 3) // 2 + 1
                     for s, p in zip(grid.shape, pad))
-                co, mo, _ = downsample_active_set(
+                co, mo, new_table, _ = downsample_with_table(
                     grid.coords, grid.mask, (3, 3, 3), (2, 2, 2), pad,
                     out_shape, self.capacities[i + 1], batch_size)
                 sidx = strided_neighbor_idx(grid, table, co, mo,
@@ -168,12 +169,12 @@ class SparseEncoder(nn.Module):
                                     name=f"down{i}_bn")(x, mo, train=train)
                 x = nn.relu(x)
                 grid = SparseGrid(co, mo, out_shape, batch_size)
-                table = build_table(grid)
+                table = new_table
                 nidx = subm_neighbor_idx(grid, table)
 
         # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z only.
         out_shape = ((grid.shape[0] - 3) // 2 + 1, grid.shape[1], grid.shape[2])
-        co, mo, _ = downsample_active_set(
+        co, mo, _, _ = downsample_with_table(
             grid.coords, grid.mask, (3, 1, 1), (2, 1, 1), (0, 0, 0),
             out_shape, self.capacities[-1], batch_size)
         sidx = strided_neighbor_idx(grid, table, co, mo, (3, 1, 1), (2, 1, 1),

@@ -129,6 +129,12 @@ class UniBEVTransformer(nn.Module):
             # Per-modality softmax over a single row is identically 1.0.
             img_n = jnp.where(both, joint[0], 1.0)
             pts_n = jnp.where(both, joint[1], 1.0)
+            # vis_output analog (reference transformer_fusion.py:530-570):
+            # intermediates are sown instead of torch.save-dumped; request
+            # mutable=['intermediates'] on apply to collect them.
+            self.sow("intermediates", "cnw_feature_weights", stacked)
+            self.sow("intermediates", "cnw_img_norm_weights", img_n)
+            self.sow("intermediates", "cnw_pts_norm_weights", pts_n)
             img_bev = img_bev * img_n.astype(img_bev.dtype)
             pts_bev = pts_bev * pts_n.astype(pts_bev.dtype)
         elif self.feature_norm in ("MLP_ChannelNormWeights",
@@ -284,6 +290,8 @@ class UniBEVTransformer(nn.Module):
             img_bev, pts_bev, l_flag, c_flag, deterministic=deterministic)
         img_bev, pts_bev = self.spatial_feature_norm(img_bev, pts_bev,
                                                      l_flag, c_flag)
+        self.sow("intermediates", "img_bev_embed", img_bev)
+        self.sow("intermediates", "pts_bev_embed", pts_bev)
         fused = self.multi_modal_fusion(img_bev, pts_bev, l_flag, c_flag)
 
         Cd = self.dec_dims
