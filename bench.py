@@ -20,10 +20,17 @@ import numpy as np
 
 
 def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--modality", default="LC", choices=["LC", "L", "C"],
+                   help="sensor combination to bench (headline: LC)")
+    args = p.parse_args()
+
     from unibev_tpu.flagship import build_flagship, synthetic_batch
     from unibev_tpu.models.detectors.unibev import UniBEV
 
-    model = build_flagship()
+    model = build_flagship(use_lidar="L" in args.modality,
+                           use_camera="C" in args.modality)
     rng = np.random.RandomState(0)
     batch = synthetic_batch(rng)
 
@@ -52,7 +59,7 @@ def main():
 
     baseline = 2.0  # assumed reference GPU samples/s (no published number)
     print(json.dumps({
-        "metric": "nuScenes-scale L+C inference samples/sec/chip",
+        "metric": f"nuScenes-scale {args.modality} inference samples/sec/chip",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / baseline, 3),

@@ -48,3 +48,63 @@ def test_transformer_intermediates():
              for path, _ in flat}
     assert any("cnw_img_norm_weights" in n for n in names), names
     assert any("img_bev_embed" in n for n in names)
+
+
+def test_eval_hook_runs():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_detector import tiny_model_cfg, tiny_batch
+    from unibev_tpu.models.detectors.unibev import UniBEV
+    from unibev_tpu.parallel.train_state import create_train_state, make_optimizer
+    from unibev_tpu.runtime.eval_hook import make_eval_fn
+
+    class TinyDS:
+        classes = ["car"] * 10
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            b = tiny_batch(np.random.RandomState(i))
+            return {k: np.asarray(v)[0] for k, v in b.items()}
+
+    model = UniBEV(**tiny_model_cfg())
+    batch = tiny_batch(np.random.RandomState(0))
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        batch, train=False)
+    tx, _ = make_optimizer(total_steps=10)
+    state = create_train_state(variables, tx, jax.random.PRNGKey(1))
+    metrics = make_eval_fn(model)(state, TinyDS())
+    assert "mAP" in metrics and "NDS" in metrics
+    assert 0.0 <= metrics["mAP"] <= 1.0
+
+
+def test_checkpoint_cross_modality_load(tmp_path):
+    """An L+C checkpoint must load into an L-only model (paper's core flow)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_detector import tiny_model_cfg, tiny_batch
+    from unibev_tpu.models.detectors.unibev import UniBEV
+    from unibev_tpu.runtime.checkpoints import save_params, load_params
+
+    rng = np.random.RandomState(0)
+    batch = tiny_batch(rng)
+    rngs = dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+                modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3))
+
+    lc = UniBEV(**tiny_model_cfg(use_lidar=True, use_camera=True))
+    v_lc = lc.init(rngs, batch, train=False)
+    path = str(tmp_path / "ckpt")
+    save_params(path, jax.device_get(v_lc))
+
+    l_only = UniBEV(**tiny_model_cfg(use_lidar=False, use_camera=True))
+    v_l = l_only.init(rngs, batch, train=False)
+    merged = load_params(path, jax.device_get(v_l))
+    # shared subtree (head) must come from the checkpoint
+    a = np.asarray(merged["params"]["pts_bbox_head"]["bev_embedding"])
+    b = np.asarray(v_lc["params"]["pts_bbox_head"]["bev_embedding"])
+    np.testing.assert_allclose(a, b)
+    out = l_only.apply(merged, batch, method=UniBEV.predict)
+    assert np.isfinite(np.array(out["bboxes"])).all()

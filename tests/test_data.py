@@ -104,3 +104,23 @@ def test_eval_wrong_positions():
                   scores=np.array([0.9]), labels=np.array([0]))]
     m = evaluate_detections(preds, gts, ["car"])
     assert m["mAP"] == 0.0
+
+
+def test_threaded_dataloader_order_and_coverage():
+    from unibev_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 17
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.int32)}
+
+    dl = DataLoader(DS(), batch_size=4, shuffle=False, num_workers=3,
+                    drop_last=False)
+    seen = []
+    for batch in dl:
+        assert set(batch.keys()) == {"x"}
+        seen.extend(batch["x"][:, 0].tolist())
+    assert seen == list(range(17))  # deterministic order despite threads
+    assert len(dl) == 5

@@ -192,3 +192,20 @@ def test_camera_only_and_lidar_only():
             batch, train=False)
         out = model.apply(variables, batch, method=UniBEV.predict)
         assert np.isfinite(np.array(out["bboxes"])).all()
+
+
+def test_dual_queries_variant():
+    rng = np.random.RandomState(3)
+    cfg = tiny_model_cfg()
+    cfg["pts_bbox_head"]["dual_queries"] = True
+    cfg["pts_bbox_head"]["transformer"]["dual_queries"] = True
+    model = UniBEV(**cfg)
+    batch = tiny_batch(rng)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        batch, train=False)
+    # dual queries double the BEV embedding width
+    assert variables["params"]["pts_bbox_head"]["bev_embedding"].shape == (64, 64)
+    out = model.apply(variables, batch, method=UniBEV.predict)
+    assert np.isfinite(np.array(out["bboxes"])).all()

@@ -32,8 +32,6 @@ def test_sparse_encoder_end_to_end_shapes():
                         capacities=(V, V, V, V))
     variables = enc.init(jax.random.PRNGKey(0), res.feats, coords, res.mask, 1)
     out = enc.apply(variables, res.feats, coords, res.mask, 1)
-    # z chain: 17->9->5->2(p z=0)-> conv_out (2-3)//2+1 = 0 is degenerate; so
-    # just check H/W downsample by 8 and channels = 128 * z_out
     assert out.shape[0] == 1
     assert out.shape[1] == H // 8 and out.shape[2] == W // 8
     assert out.shape[3] == 128  # 128 ch x 1 z-slice

@@ -74,3 +74,17 @@ def test_msda_grad_finite():
     grads = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
     for g in grads:
         assert np.all(np.isfinite(np.array(g)))
+
+
+def test_grid_sample_matches_torch():
+    from unibev_tpu.ops.grid_sample import bilinear_grid_sample
+    rng = np.random.RandomState(5)
+    B, H, W, C = 2, 9, 13, 4
+    im = rng.randn(B, H, W, C).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (B, 6, 7, 2)).astype(np.float32)
+    ours = np.array(bilinear_grid_sample(jnp.array(im), jnp.array(grid)))
+    ref = F.grid_sample(torch.from_numpy(im.transpose(0, 3, 1, 2).copy()),
+                        torch.from_numpy(grid), mode="bilinear",
+                        padding_mode="zeros", align_corners=False)
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)

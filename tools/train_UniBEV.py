@@ -102,24 +102,26 @@ def main():
         if not args.no_validate and cfg.data.get("val"):
             val_ds = build_from_cfg(dict(cfg.data["val"]), DATASETS)
 
+    eval_fn = None
+    if val_ds is not None:
+        from unibev_tpu.runtime.eval_hook import make_eval_fn
+        eval_fn = make_eval_fn(model)
     runner = Runner(model, train_ds, cfg, work_dir, logger,
-                    val_dataset=val_ds, seed=args.seed)
+                    val_dataset=val_ds, eval_fn=eval_fn, seed=args.seed)
 
     spg = int(cfg.get("samples_per_gpu", 1))
     B = spg * jax.device_count()
+    workers = int(cfg.get("workers_per_gpu", 2))
+
+    from unibev_tpu.data.loader import DataLoader
+    loader = DataLoader(train_ds, batch_size=B, shuffle=True,
+                        num_workers=workers, seed=args.seed)
 
     def batch_iter():
-        order = np.random.RandomState(args.seed).permutation(len(train_ds))
-        buf = []
-        n_steps = 0
-        for i in order:
-            buf.append(train_ds[int(i)])
-            if len(buf) == B:
-                yield collate(buf)
-                buf = []
-                n_steps += 1
-                if args.max_steps and n_steps >= args.max_steps:
-                    return
+        for step, batch in enumerate(loader):
+            yield batch
+            if args.max_steps and step + 1 >= args.max_steps:
+                return
 
     first = next(iter(batch_iter()))
     first = {k: v for k, v in first.items() if k != "img_metas"}

@@ -29,6 +29,8 @@ def _center_dist(pred_xy: np.ndarray, gt_xy: np.ndarray) -> np.ndarray:
 def _ap_from_pr(recall: np.ndarray, precision: np.ndarray) -> float:
     """Devkit AP: mean precision over recall in (0.1, 1], precision > 0.1,
     normalized by 0.9 after subtracting the 0.1 floors."""
+    if len(recall) == 0:
+        return 0.0
     rec_interp = np.linspace(0, 1, 101)
     prec = np.interp(rec_interp, recall, precision, right=0)
     prec = prec[rec_interp >= 0.1]

@@ -75,7 +75,18 @@ class MSDAttention(nn.Module):
     num_points: int = 4
     dropout: float = 0.1
     query_chunk: int = 0
+    # remat the sampling op: its backward recomputes the gathered rows
+    # instead of saving them (saves ~100MB-1GB of residuals per call at
+    # flagship scale for ~1 extra gather pass in the backward).
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
+
+    def _sample(self, v, spatial_shapes, loc, weights):
+        fn = lambda v_, l_, w_: ms_deform_attn(
+            v_, tuple(spatial_shapes), l_, w_, query_chunk=self.query_chunk)
+        if self.remat:
+            fn = jax.checkpoint(fn)
+        return fn(v, loc, weights)
 
     @nn.compact
     def __call__(self, query, value, reference_points, spatial_shapes,
@@ -96,8 +107,7 @@ class MSDAttention(nn.Module):
         norm = _normalizer(spatial_shapes)
         loc = (reference_points[:, :, None, :, None, :]
                + offsets / norm[None, None, None, :, None, :])
-        out = ms_deform_attn(v, tuple(spatial_shapes), loc, weights,
-                             query_chunk=self.query_chunk)
+        out = self._sample(v, spatial_shapes, loc, weights)
         out = nn.Dense(self.embed_dims, kernel_init=xavier_uniform,
                        dtype=self.dtype, name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -124,6 +134,7 @@ class MSDeformableAttention3D(nn.Module):
     num_levels: int = 1
     num_points: int = 8
     query_chunk: int = 0
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -164,8 +175,11 @@ class MSDeformableAttention3D(nn.Module):
                                         variant="onehot")
             return out.reshape(B, self.num_heads, Q, head_dim).transpose(
                 0, 2, 1, 3).reshape(B, Q, self.embed_dims)
-        return ms_deform_attn(v, tuple(spatial_shapes), loc, weights,
-                              query_chunk=self.query_chunk)
+        fn = lambda v_, l_, w_: ms_deform_attn(
+            v_, tuple(spatial_shapes), l_, w_, query_chunk=self.query_chunk)
+        if self.remat:
+            fn = jax.checkpoint(fn)
+        return fn(v, loc, weights)
 
 
 @ATTENTION.register_module(name="SpatialCrossAttentionImg")

@@ -76,6 +76,38 @@ def _corner_rolled_kernel(idx_ref, w_ref, value_ref, out_ref, *, P: int,
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
+def _smallv_reference(value, spatial_shape, sampling_locations,
+                      attention_weights):
+    """Differentiable jnp twin (single level, heads folded) — backward pass."""
+    from unibev_tpu.ops.msda import _slab_level
+    H, W = spatial_shape
+    return _slab_level(value, H, W, sampling_locations, attention_weights)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+def _smallv_op(value, spatial_shape, sampling_locations, attention_weights,
+               q_tile, interpret, variant):
+    return _smallv_impl(value, spatial_shape, sampling_locations,
+                        attention_weights, q_tile, interpret, variant)
+
+
+def _smallv_fwd(value, spatial_shape, loc, attn, q_tile, interpret, variant):
+    out = _smallv_impl(value, spatial_shape, loc, attn, q_tile, interpret,
+                       variant)
+    return out, (value, loc, attn)
+
+
+def _smallv_bwd(spatial_shape, q_tile, interpret, variant, res, g):
+    value, loc, attn = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: _smallv_reference(v, spatial_shape, l, a),
+        value, loc, attn)
+    return vjp(g)
+
+
+_smallv_op.defvjp(_smallv_fwd, _smallv_bwd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spatial_shape", "q_tile", "interpret",
                                     "variant"))
@@ -86,6 +118,18 @@ def ms_deform_attn_smallv(value: jnp.ndarray,
                           q_tile: int = 256,
                           interpret: bool = False,
                           variant: str = "corner") -> jnp.ndarray:
+    """Differentiable wrapper: Pallas forward, jnp-gather backward."""
+    return _smallv_op(value, spatial_shape, sampling_locations,
+                      attention_weights, q_tile, interpret, variant)
+
+
+def _smallv_impl(value: jnp.ndarray,
+                 spatial_shape: Tuple[int, int],
+                 sampling_locations: jnp.ndarray,
+                 attention_weights: jnp.ndarray,
+                 q_tile: int = 256,
+                 interpret: bool = False,
+                 variant: str = "corner") -> jnp.ndarray:
     """Single-level deformable attention for small value maps.
 
     Args:

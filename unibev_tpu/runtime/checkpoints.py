@@ -62,7 +62,37 @@ def save_params(path: str, variables: Any) -> None:
 
 
 def load_params(path: str, template: Any = None) -> Any:
+    """Restore a checkpoint, tolerating tree mismatches.
+
+    The UniBEV workflow evaluates single-modality models from an L+C-trained
+    checkpoint (reference inference configs, SURVEY §3.4): the checkpoint
+    holds MORE subtrees than the eval model (e.g. camera backbone params for
+    an L-only model).  Matching paths are copied; template-only leaves keep
+    their initialization; extra checkpoint subtrees are ignored.
+    """
     ckpt = ocp.StandardCheckpointer()
-    if template is not None:
+    if template is None:
+        return ckpt.restore(osp.abspath(path))
+    try:
         return ckpt.restore(osp.abspath(path), template)
-    return ckpt.restore(osp.abspath(path))
+    except (ValueError, KeyError, TypeError):
+        raw = ckpt.restore(osp.abspath(path))
+        return _merge_intersection(template, raw)
+
+
+def _merge_intersection(template: Any, raw: Any) -> Any:
+    import numpy as np
+    if isinstance(template, dict) or hasattr(template, "keys"):
+        out = {}
+        raw_d = raw if (isinstance(raw, dict) or hasattr(raw, "keys")) else {}
+        for k, v in dict(template).items():
+            out[k] = _merge_intersection(v, dict(raw_d).get(k)) \
+                if k in dict(raw_d) else v
+        return out
+    if raw is None:
+        return template
+    rv = np.asarray(raw)
+    tv = np.asarray(template)
+    if rv.shape != tv.shape:
+        return template
+    return rv.astype(tv.dtype)
