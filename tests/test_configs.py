@@ -39,3 +39,29 @@ def test_config_builds_model(path):
         assert t["dual_queries"] is True
     if "ablation_md" in path:
         assert isinstance(t["drop_modality"], dict)
+
+
+def test_main_config_inits_abstractly():
+    """The flagship config must trace through model.init (shape-level) —
+    catches wiring errors without paying flagship FLOPs."""
+    import jax
+    import jax.numpy as jnp
+    from unibev_tpu.flagship import synthetic_batch
+    import numpy as np
+
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/unibev/unibev_nus_LC_cnw_256_modality_dropout.py"))
+    model_cfg = dict(cfg.model)
+    model_cfg.setdefault("use_lidar", True)
+    model_cfg.setdefault("use_camera", True)
+    model = build_from_cfg(model_cfg, DETECTORS)
+    batch = synthetic_batch(np.random.RandomState(0), P=30000)
+    shapes = jax.eval_shape(
+        lambda b: model.init(
+            dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+                 modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+            b, train=True),
+        batch)
+    n_params = sum(np.prod(s.shape) for s in
+                   jax.tree_util.tree_leaves(shapes["params"]))
+    assert 60e6 < n_params < 90e6, n_params / 1e6
