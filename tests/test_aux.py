@@ -108,3 +108,18 @@ def test_checkpoint_cross_modality_load(tmp_path):
     np.testing.assert_allclose(a, b)
     out = l_only.apply(merged, batch, method=UniBEV.predict)
     assert np.isfinite(np.array(out["bboxes"])).all()
+
+
+def test_bev_visualization(tmp_path):
+    from unibev_tpu.utils.visualize import save_bev
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-50, 50, (5000, 5)).astype(np.float32)
+    boxes = np.array([[10, 5, 0, 2, 4.5, 1.6, 0.4, 0, 0],
+                      [-20, -8, 0, 1, 1, 1.8, 1.2, 0, 0]], np.float32)
+    p = tmp_path / "bev.png"
+    save_bev(str(p), points=pts, boxes=boxes, labels=np.array([0, 7]),
+             gt_boxes=boxes + 0.5)
+    from PIL import Image
+    im = Image.open(p)
+    assert im.size == (800, 800)
+    assert np.asarray(im).sum() > 0

@@ -141,3 +141,27 @@ def test_downsample_with_table_matches_sort_variant():
     g = SparseGrid(co2, mo2, (Do, Ho, Wo), B)
     ref_table = build_table(g)
     np.testing.assert_array_equal(np.array(table2), np.array(ref_table))
+
+
+def test_subm_gather_conv_grad_matches_default_ad():
+    import jax
+    from unibev_tpu.ops.sparse_conv import subm_gather_conv
+    rng = np.random.RandomState(5)
+    B, D, H, W, Cin, Cout = 1, 5, 8, 8, 4, 6
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 60, 100)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    w = (rng.randn(27 * Cin, Cout) * 0.1).astype(np.float32)
+    g_out = rng.randn(100, Cout).astype(np.float32)
+
+    def f_custom(f, w_):
+        return (subm_gather_conv(f, nidx, w_, grid.mask) * g_out).sum()
+
+    def f_default(f, w_):
+        return (gather_conv(f, nidx, w_, grid.mask) * g_out).sum()
+
+    gf1, gw1 = jax.grad(f_custom, argnums=(0, 1))(jnp.array(feats), jnp.array(w))
+    gf2, gw2 = jax.grad(f_default, argnums=(0, 1))(jnp.array(feats), jnp.array(w))
+    np.testing.assert_allclose(np.array(gf1), np.array(gf2), atol=1e-4)
+    np.testing.assert_allclose(np.array(gw1), np.array(gw2), atol=1e-4)

@@ -99,6 +99,17 @@ def main():
             labels_3d=np.asarray(out["labels"])[0].tolist(),
             valid=np.asarray(out["valid"])[0].tolist(),
         ))
+        if args.show_dir:
+            from unibev_tpu.utils.visualize import save_bev
+            valid = np.asarray(out["valid"])[0]
+            scores = np.asarray(out["scores"])[0]
+            keep = valid & (scores > 0.3)
+            save_bev(os.path.join(args.show_dir, f"sample_{i:04d}.png"),
+                     points=np.asarray(b["points"][0]) if "points" in b else None,
+                     boxes=np.asarray(out["bboxes"])[0][keep],
+                     labels=np.asarray(out["labels"])[0][keep],
+                     pc_range=tuple(cfg.point_cloud_range)
+                     if "point_cloud_range" in cfg else (-54, -54, -5, 54, 54, 3))
         if (i + 1) % 10 == 0:
             logger.info(f"[{i + 1}/{n}] samples done")
 

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from unibev_tpu.ops.sparse_conv import (SparseGrid, build_table, gather_conv,
+                                        subm_gather_conv,
                                         downsample_active_set,
                                         downsample_with_table,
                                         strided_neighbor_idx,
@@ -91,7 +92,7 @@ class SubMConvBN(nn.Module):
         K = neighbor_idx.shape[-1]
         w = self.param("weight", nn.initializers.he_normal(),
                        (K * cin, self.out_channels))
-        out = gather_conv(feats, neighbor_idx, w, mask)
+        out = subm_gather_conv(feats, neighbor_idx, w, mask)
         out = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
                               name="bn")(out, mask, train=train)
         return nn.relu(out) if self.relu else out
