@@ -1,0 +1,48 @@
+"""Runtime pieces: LR schedule shape, checkpoint cadence, optimizer masks."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from unibev_tpu.runtime.lr_schedule import cosine_with_linear_warmup
+from unibev_tpu.runtime.checkpoints import CheckpointManager
+from unibev_tpu.parallel.train_state import make_optimizer, scale_updates_by_path
+
+
+def test_cosine_warmup_schedule():
+    s = cosine_with_linear_warmup(2e-4, total_steps=1000, warmup_iters=100,
+                                  warmup_ratio=1/3, min_lr_ratio=1e-3)
+    assert abs(float(s(0)) - 2e-4 / 3) < 1e-9          # warmup start = lr/3
+    assert abs(float(s(100)) - 2e-4) < 1e-8            # warmup end = lr
+    assert float(s(550)) < 2e-4                        # decaying
+    assert abs(float(s(1000)) - 2e-4 * 1e-3) < 1e-9    # min lr
+    # monotone decay after warmup
+    xs = [float(s(t)) for t in range(100, 1001, 100)]
+    assert all(a >= b for a, b in zip(xs, xs[1:]))
+
+
+def test_checkpoint_cadence(tmp_path):
+    m = CheckpointManager(str(tmp_path), interval=6, late_stage_start=21)
+    # reference: every 6 epochs + every epoch from 21 (1-based)
+    saves = [e for e in range(36) if m.should_save(e)]
+    assert 5 in saves and 11 in saves and 17 in saves       # epochs 6,12,18
+    assert all(e in saves for e in range(20, 36))           # from epoch 21
+    assert 0 not in saves and 19 not in saves
+
+
+def test_paramwise_scaling():
+    rules = ((r"img_backbone/(conv1|bn1|layer1_)", 0.0),
+             (r"img_backbone", 0.1), (r"pts_backbone", 0.1))
+    tx = scale_updates_by_path(rules)
+    updates = {
+        "img_backbone": {"conv1": {"kernel": jnp.ones(2)},
+                         "layer1_0": {"conv1": {"kernel": jnp.ones(2)}},
+                         "layer3_0": {"conv1": {"kernel": jnp.ones(2)}}},
+        "pts_backbone": {"block0_conv0": {"kernel": jnp.ones(2)}},
+        "pts_bbox_head": {"bev_embedding": jnp.ones(2)},
+    }
+    out, _ = tx.update(updates, tx.init(updates))
+    assert float(out["img_backbone"]["conv1"]["kernel"][0]) == 0.0      # frozen
+    assert float(out["img_backbone"]["layer1_0"]["conv1"]["kernel"][0]) == 0.0
+    assert abs(float(out["img_backbone"]["layer3_0"]["conv1"]["kernel"][0]) - 0.1) < 1e-6
+    assert abs(float(out["pts_backbone"]["block0_conv0"]["kernel"][0]) - 0.1) < 1e-6
+    assert float(out["pts_bbox_head"]["bev_embedding"][0]) == 1.0

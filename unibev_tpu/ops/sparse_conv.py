@@ -174,8 +174,6 @@ def _subm_gc_bwd(res, g):
 subm_gather_conv.defvjp(_subm_gc_fwd, _subm_gc_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding",
-                                             "out_shape", "capacity", "batch"))
 def downsample_with_table(coords: jnp.ndarray, mask: jnp.ndarray,
                           kernel: Tuple[int, int, int],
                           stride: Tuple[int, int, int],
@@ -256,8 +254,6 @@ def downsample_with_table(coords: jnp.ndarray, mask: jnp.ndarray,
     return coords_out, mask_out, table, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding",
-                                             "out_shape", "capacity", "batch"))
 def downsample_active_set(coords: jnp.ndarray, mask: jnp.ndarray,
                           kernel: Tuple[int, int, int],
                           stride: Tuple[int, int, int],
