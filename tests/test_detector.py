@@ -209,3 +209,77 @@ def test_dual_queries_variant():
     assert variables["params"]["pts_bbox_head"]["bev_embedding"].shape == (64, 64)
     out = model.apply(variables, batch, method=UniBEV.predict)
     assert np.isfinite(np.array(out["bboxes"])).all()
+
+
+@pytest.mark.parametrize("fusion,feature_norm", [
+    ("avg", None),
+    ("cat", None),
+    ("linear", None),
+])
+def test_fusion_variants(fusion, feature_norm):
+    rng = np.random.RandomState(4)
+    cfg = tiny_model_cfg(fusion=fusion, feature_norm=feature_norm)
+    if fusion == "cat":
+        # decoder runs at 2x dims (dec_scale_factor), mirroring the cat-128
+        # config's structure
+        dec = cfg["pts_bbox_head"]["transformer"]["decoder"]["transformerlayers"]
+        dec["attn_cfgs"][0]["embed_dims"] = 64
+        dec["attn_cfgs"][1]["embed_dims"] = 64
+        dec["feedforward_channels"] = 128
+    model = UniBEV(**cfg)
+    batch = tiny_batch(rng)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        batch, train=False)
+    if fusion == "cat":
+        assert variables["params"]["pts_bbox_head"]["query_embedding"].shape \
+            == (24, 128)
+    out = model.apply(variables, batch, method=UniBEV.predict)
+    assert np.isfinite(np.array(out["bboxes"])).all()
+    # train path too (modality dropout flags exercise the fusion arithmetic)
+    preds, _ = model.apply(
+        variables, batch, train=True,
+        rngs=dict(gridmask=jax.random.PRNGKey(1),
+                  modality=jax.random.PRNGKey(5),
+                  dropout=jax.random.PRNGKey(3)),
+        mutable=["batch_stats"])
+    losses = model.apply(variables, batch, preds, method=UniBEV.loss)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+@pytest.mark.parametrize("feature_norm,fusion", [
+    ("MLP_ChannelNormWeights", "linear"),
+    ("ModalityProjection", "cat"),
+])
+def test_feature_norm_variants(feature_norm, fusion):
+    rng = np.random.RandomState(6)
+    cfg = tiny_model_cfg(fusion=fusion, feature_norm=feature_norm)
+    if fusion == "cat":
+        dec = cfg["pts_bbox_head"]["transformer"]["decoder"]["transformerlayers"]
+        dec["attn_cfgs"][0]["embed_dims"] = 64
+        dec["attn_cfgs"][1]["embed_dims"] = 64
+        dec["feedforward_channels"] = 128
+    model = UniBEV(**cfg)
+    batch = tiny_batch(rng)
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        batch, train=False)
+    out = model.apply(variables, batch, method=UniBEV.predict)
+    assert np.isfinite(np.array(out["bboxes"])).all()
+
+
+def test_modal_embeds_variants():
+    rng = np.random.RandomState(7)
+    for mode in ("MLP", "Fixed"):
+        cfg = tiny_model_cfg()
+        cfg["pts_bbox_head"]["transformer"]["use_modal_embeds"] = mode
+        model = UniBEV(**cfg)
+        batch = tiny_batch(rng)
+        variables = model.init(
+            dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+                 modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+            batch, train=False)
+        out = model.apply(variables, batch, method=UniBEV.predict)
+        assert np.isfinite(np.array(out["bboxes"])).all()

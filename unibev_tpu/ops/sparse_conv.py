@@ -92,7 +92,7 @@ def subm_neighbor_idx(grid: SparseGrid, table: jnp.ndarray,
     y = grid.coords[:, 2]
     x = grid.coords[:, 3]
 
-    idx_list = []
+    flat_list, ok_list = [], []
     for dz in range(-rz, rz + 1):
         for dy in range(-ry, ry + 1):
             for dx in range(-rx, rx + 1):
@@ -100,10 +100,14 @@ def subm_neighbor_idx(grid: SparseGrid, table: jnp.ndarray,
                 ok = (grid.mask & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
                       & (nx >= 0) & (nx < W))
                 flat = ((b * D + nz) * H + ny) * W + nx
-                flat = jnp.where(ok, flat, 0)
-                nidx = jnp.where(ok, table[flat], V)
-                idx_list.append(nidx)
-    return jnp.stack(idx_list, axis=1).astype(jnp.int32)
+                flat_list.append(jnp.where(ok, flat, 0))
+                ok_list.append(ok)
+    # ONE batched table lookup for all K taps (K separate 4-byte-row gathers
+    # are per-op-overhead-bound on TPU).
+    flats = jnp.stack(flat_list, axis=1)
+    oks = jnp.stack(ok_list, axis=1)
+    nidx = jnp.take(table, flats.reshape(-1), axis=0).reshape(flats.shape)
+    return jnp.where(oks, nidx, V).astype(jnp.int32)
 
 
 def gather_conv(feats: jnp.ndarray, neighbor_idx: jnp.ndarray,
@@ -343,7 +347,7 @@ def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
     y = coords_out[:, 2] * sy - py
     x = coords_out[:, 3] * sx - px
 
-    idx_list = []
+    flat_list, ok_list = [], []
     for dz in range(kz):
         for dy in range(ky):
             for dx in range(kx):
@@ -351,10 +355,12 @@ def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
                 ok = (out_mask & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
                       & (nx >= 0) & (nx < W))
                 flat = ((b * D + nz) * H + ny) * W + nx
-                flat = jnp.where(ok, flat, 0)
-                nidx = jnp.where(ok, table_in[flat], V)
-                idx_list.append(nidx)
-    return jnp.stack(idx_list, axis=1).astype(jnp.int32)
+                flat_list.append(jnp.where(ok, flat, 0))
+                ok_list.append(ok)
+    flats = jnp.stack(flat_list, axis=1)
+    oks = jnp.stack(ok_list, axis=1)
+    nidx = jnp.take(table_in, flats.reshape(-1), axis=0).reshape(flats.shape)
+    return jnp.where(oks, nidx, V).astype(jnp.int32)
 
 
 def to_dense(feats: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:
