@@ -82,16 +82,22 @@ def modulated_deform_conv2d(x: jnp.ndarray,
         axis=-1).reshape(B, (H + 1) * (W + 1), 4 * Cin)
 
     idx = (y0c * (W + 1) + x0c).reshape(B, -1)             # (B, N*K)
-    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)
-    rows = rows.reshape(B, Ho * Wo * K, 4, Cin)
+    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)  # (B, N*K, 4*Cin)
 
-    lyf = ly.reshape(B, -1, 1)
+    vmask = valid.reshape(B, -1, 1).astype(x.dtype)
+    lyf = ly.reshape(B, -1, 1) * vmask
     lxf = lx.reshape(B, -1, 1)
-    corner_w = jnp.concatenate(
-        [(1 - lyf) * (1 - lxf), (1 - lyf) * lxf,
-         lyf * (1 - lxf), lyf * lxf], axis=-1)             # (B, N*K, 4)
-    corner_w = corner_w * valid.reshape(B, -1, 1).astype(x.dtype)
-    sampled = (rows * corner_w[..., None]).sum(axis=2)     # (B, N*K, Cin)
+    # slice-fma over the four packed corners — avoids materializing a
+    # (B, N*K, 4, Cin) intermediate + reshape (measured ~140 ms at flagship
+    # scale in the DCN stages alone)
+    w00 = (vmask - lyf) * (1 - lxf)
+    w01 = (vmask - lyf) * lxf
+    w10 = lyf * (1 - lxf)
+    w11 = lyf * lxf
+    sampled = (rows[..., 0 * Cin:1 * Cin] * w00
+               + rows[..., 1 * Cin:2 * Cin] * w01
+               + rows[..., 2 * Cin:3 * Cin] * w10
+               + rows[..., 3 * Cin:4 * Cin] * w11)         # (B, N*K, Cin)
 
     sampled = sampled.reshape(B, Ho, Wo, K, Cin) * mask[..., None].astype(x.dtype)
     cols = sampled.reshape(B, Ho, Wo, K * Cin)

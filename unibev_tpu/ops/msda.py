@@ -92,17 +92,19 @@ def _slab_level(value: jnp.ndarray, H: int, W: int,
 
     idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
     rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)  # (BH, QP, 4D)
-    rows = rows.reshape(BH, Q * P, 4, D)
 
-    w = (attn * valid.astype(attn.dtype)).astype(value.dtype)
-    lyf = ly.reshape(BH, Q * P, 1)
+    # fold attention weight and validity into the bilinear corner weights and
+    # reduce via slice-fma (no (BH, QP, 4, D) intermediate)
+    w = (attn * valid.astype(attn.dtype)).astype(value.dtype).reshape(BH, Q * P, 1)
+    lyf = ly.reshape(BH, Q * P, 1) * w
     lxf = lx.reshape(BH, Q * P, 1)
-    corner_w = jnp.concatenate(
-        [(1 - lyf) * (1 - lxf), (1 - lyf) * lxf,
-         lyf * (1 - lxf), lyf * lxf], axis=-1)             # (BH, QP, 4)
-    samp = (rows * corner_w[..., None]).sum(axis=2)        # (BH, QP, D)
-    samp = samp.reshape(BH, Q, P, D) * w[..., None]
-    return samp.sum(axis=2)
+    w00 = (w - lyf) * (1 - lxf)
+    w01 = (w - lyf) * lxf
+    w10 = lyf * (1 - lxf)
+    w11 = lyf * lxf
+    samp = (rows[..., 0 * D:1 * D] * w00 + rows[..., 1 * D:2 * D] * w01
+            + rows[..., 2 * D:3 * D] * w10 + rows[..., 3 * D:4 * D] * w11)
+    return samp.reshape(BH, Q, P, D).sum(axis=2)
 
 
 def _onehot_level(value: jnp.ndarray, H: int, W: int,
