@@ -56,6 +56,23 @@ def _fast_cumsum_binary(bitmap: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return out.astype(jnp.int32)
 
 
+def _wide_table_lookup(table: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """table[flat] via 128-lane-row gather + one-hot lane select.
+
+    The gather engine charges per ROW regardless of width, so gathering
+    4-byte scalars wastes ~30x; fetching the 128-lane row containing each
+    entry and selecting the lane on the VPU runs at the row rate.
+    """
+    n = table.shape[0]
+    nrows = -(-n // 128)
+    t2d = jnp.pad(table, (0, nrows * 128 - n)).reshape(nrows, 128)
+    rows = jnp.take(t2d, flat >> 7, axis=0)                  # (N, 128)
+    lane = (flat & 127).astype(jnp.int32)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+              == lane[:, None])
+    return jnp.where(onehot, rows, 0).sum(axis=1)
+
+
 def _flat_index(coords: jnp.ndarray, mask: jnp.ndarray,
                 shape: Tuple[int, int, int], trash: int) -> jnp.ndarray:
     D, H, W = shape
@@ -106,7 +123,7 @@ def subm_neighbor_idx(grid: SparseGrid, table: jnp.ndarray,
     # are per-op-overhead-bound on TPU).
     flats = jnp.stack(flat_list, axis=1)
     oks = jnp.stack(ok_list, axis=1)
-    nidx = jnp.take(table, flats.reshape(-1), axis=0).reshape(flats.shape)
+    nidx = _wide_table_lookup(table, flats.reshape(-1)).reshape(flats.shape)
     return jnp.where(oks, nidx, V).astype(jnp.int32)
 
 
@@ -238,7 +255,7 @@ def downsample_with_table(coords: jnp.ndarray, mask: jnp.ndarray,
     # Capacity-sized sorted coordinate list WITHOUT jnp.nonzero (whose
     # internal cumsum repeats the full-grid scan): every candidate scatters
     # its flat coord to its site's rank — duplicates write identical values.
-    cand_rank = jnp.take(csum, jnp.minimum(flat, size - 1)) - 1
+    cand_rank = _wide_table_lookup(csum, jnp.minimum(flat, size - 1)) - 1
     cand_ok = (flat < size) & (cand_rank >= 0) & (cand_rank < capacity)
     cand_slot = jnp.where(cand_ok, cand_rank, capacity)
     flat_idx = jnp.zeros((capacity + 1,), jnp.int32).at[cand_slot].set(
@@ -359,7 +376,7 @@ def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
                 ok_list.append(ok)
     flats = jnp.stack(flat_list, axis=1)
     oks = jnp.stack(ok_list, axis=1)
-    nidx = jnp.take(table_in, flats.reshape(-1), axis=0).reshape(flats.shape)
+    nidx = _wide_table_lookup(table_in, flats.reshape(-1)).reshape(flats.shape)
     return jnp.where(oks, nidx, V).astype(jnp.int32)
 
 
