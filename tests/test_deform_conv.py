@@ -73,3 +73,33 @@ def test_mask_modulates():
     b = np.array(modulated_deform_conv2d(jnp.array(x), jnp.array(offset),
                                          jnp.array(ones), jnp.array(w)))
     np.testing.assert_allclose(a, 0.5 * b, atol=1e-5)
+
+
+def test_fast_bf16_path_matches_clean_and_grads():
+    """The s32 pair-packed fast path must match the clean formulation in
+    bf16 and carry gradients (via the clean-formulation VJP)."""
+    import jax
+    import jax.numpy as jnp
+    from unibev_tpu.ops.deform_conv import (_mdcn_clean, modulated_deform_conv2d)
+
+    rng = np.random.RandomState(3)
+    B, H, W, Cin, Cout, K = 2, 9, 11, 8, 16, 9
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.bfloat16)
+    offset = jnp.asarray(rng.randn(B, H, W, 2 * K) * 2.0, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, K), jnp.bfloat16)
+    weight = jnp.asarray(rng.randn(K * Cin, Cout) * 0.1, jnp.bfloat16)
+
+    fast = modulated_deform_conv2d(x, offset, mask, weight)
+    clean = _mdcn_clean(x, offset, mask, weight, (3, 3), 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(fast, np.float32),
+                               np.asarray(clean, np.float32),
+                               atol=0.15, rtol=0.1)
+
+    def loss(x, offset, mask, weight):
+        return jnp.sum(modulated_deform_conv2d(x, offset, mask, weight)
+                       .astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    for g in grads:
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+        assert float(jnp.max(jnp.abs(g.astype(jnp.float32)))) > 0

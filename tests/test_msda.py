@@ -88,3 +88,30 @@ def test_grid_sample_matches_torch():
                         padding_mode="zeros", align_corners=False)
     np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
                                atol=1e-5)
+
+
+def test_slab_fast_bf16_matches_clean():
+    """s32 pair-packed fast path vs clean slab path in bf16, plus grads."""
+    import jax
+    import jax.numpy as jnp
+    from unibev_tpu.ops.msda import _slab_level, _slab_level_fast
+
+    rng = np.random.RandomState(11)
+    BH, H, W, D, Q, P = 4, 13, 17, 8, 50, 3
+    value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(BH, Q, P, 2) * 1.2 - 0.1, jnp.float32)
+    attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+
+    fast = _slab_level_fast(value, H, W, loc, attn)
+    clean = _slab_level(value, H, W, loc, attn)
+    np.testing.assert_allclose(np.asarray(fast, np.float32),
+                               np.asarray(clean, np.float32),
+                               atol=0.1, rtol=0.1)
+
+    def loss(v, l, a):
+        return jnp.sum(_slab_level_fast(v, H, W, l, a).astype(jnp.float32) ** 2)
+
+    gv, gl, ga = jax.grad(loss, argnums=(0, 1, 2))(value, loc, attn)
+    for g in (gv, gl, ga):
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+    assert float(jnp.max(jnp.abs(gv.astype(jnp.float32)))) > 0

@@ -1,0 +1,148 @@
+"""Timeline profiler for flagship inference/train on the real TPU chip.
+
+Captures a jax.profiler trace around N steps, then parses the xplane proto
+directly (tensorboard isn't reachable here) to report:
+  - per-op-category device time (fusions, convs, gathers, custom-calls...)
+  - top individual ops by total self time
+  - timeline busy-vs-gap accounting on the TPU core plane (the ~480 ms of
+    "copy-start" dead time from round 1 lives in the gaps, not the op totals)
+
+Usage: python tools/profile_flagship.py [--modality LC] [--train] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def capture(fn, n_iters, log_dir):
+    fn()  # warm
+    jax.effects_barrier()
+    with jax.profiler.trace(log_dir):
+        for _ in range(n_iters):
+            out = fn()
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+
+
+def load_xspace(log_dir):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    paths = sorted(glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"),
+                             recursive=True))
+    assert paths, f"no xplane.pb under {log_dir}"
+    xs = xplane_pb2.XSpace()
+    raw = open(paths[-1], "rb").read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    xs.ParseFromString(raw)
+    return xs
+
+
+def analyze(xs, n_iters):
+    for plane in xs.planes:
+        if "TPU" in plane.name and ("Core" in plane.name or "TensorCore"
+                                    in plane.name or "XLA Ops" in plane.name):
+            tpu_plane = plane
+            break
+    else:
+        # fall back: largest plane with events
+        tpu_plane = max(xs.planes, key=lambda p: sum(len(l.events) for l in p.lines))
+    print(f"== plane: {tpu_plane.name}")
+    emeta = tpu_plane.event_metadata
+    for line in tpu_plane.lines:
+        if not line.events:
+            continue
+        evs = []
+        for ev in line.events:
+            name = emeta[ev.metadata_id].name
+            evs.append((ev.offset_ps, ev.duration_ps, name))
+        evs.sort()
+        # self-time aggregation by name (events on one line shouldn't nest,
+        # but XLA op lines sometimes do; treat as flat intervals)
+        tot = collections.Counter()
+        for off, dur, name in evs:
+            tot[name] += dur
+        span = evs[-1][0] + evs[-1][1] - evs[0][0]
+        busy = 0
+        cur_end = 0
+        gaps = []
+        for off, dur, name in evs:
+            if off > cur_end:
+                gaps.append((off - cur_end, cur_end, name))
+            busy += max(0, off + dur - max(off, cur_end))
+            cur_end = max(cur_end, off + dur)
+        gaps.sort(reverse=True)
+        print(f"-- line: {line.name}  events={len(evs)}  "
+              f"span={span/1e12*1000:.1f}ms busy={busy/1e12*1000:.1f}ms "
+              f"gap={(span-busy)/1e12*1000:.1f}ms   (/{n_iters} iters)")
+        if span == 0:
+            continue
+        # family aggregation: strip %, .N suffixes and "= <shape>" detail;
+        # key on opcode + output shape signature
+        fam = collections.Counter()
+        famn = collections.Counter()
+        for name, d in tot.items():
+            base = name.split(" = ")
+            opname = base[0].lstrip("%").split(".")[0]
+            shape = base[1].split(" ")[0] if len(base) > 1 else ""
+            # drop layout annotation {...}
+            shape = shape.split("{")[0]
+            k = f"{opname} {shape}"
+            fam[k] += d
+            famn[k] += 1
+        print("   top op families (opcode+shape) by total time:")
+        for k, d in fam.most_common(40):
+            print(f"     {d/1e12*1000/n_iters:8.2f} ms/iter  x{famn[k]//n_iters:<4d} {k[:110]}")
+        print("   top gaps (before-op):")
+        for g, at, nxt in gaps[:12]:
+            print(f"     {g/1e12*1000:8.2f} ms before {nxt[:90]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--modality", default="LC")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--logdir", default="/tmp/flagship_trace")
+    args = p.parse_args()
+
+    from unibev_tpu.flagship import build_flagship, synthetic_batch
+    from unibev_tpu.models.detectors.unibev import UniBEV
+
+    model = build_flagship(use_lidar="L" in args.modality,
+                           use_camera="C" in args.modality)
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(rng)
+    variables = jax.jit(lambda b: model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        b, train=False))(batch)
+
+    if args.train:
+        from unibev_tpu.parallel.train_state import make_train_state, train_step_fn
+        state = make_train_state(model, variables, lr=2e-4)
+        step = jax.jit(train_step_fn(model))
+        rngs = dict(gridmask=jax.random.PRNGKey(1), modality=jax.random.PRNGKey(2),
+                    dropout=jax.random.PRNGKey(3))
+        fn = lambda: step(state, batch, rngs)[1]
+    else:
+        predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
+        fn = lambda: predict(variables, batch)
+
+    os.system(f"rm -rf {args.logdir}")
+    capture(fn, args.iters, args.logdir)
+    xs = load_xspace(args.logdir)
+    analyze(xs, args.iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,10 +5,23 @@ stages 3-4 (config dcn=DCNv2 at /root/reference/projects/UniBEV/configs/
 unibev/unibev_nus_LC_cnw_256_modality_dropout.py:235-236).
 
 TPU shape of the computation: the learned offsets move each kernel tap to a
-fractional position; we bilinearly sample all K*K taps (a gather of rows from
-the flattened feature map), modulate by the sigmoid mask, and reduce with ONE
-(K*K*Cin) x Cout matmul on the MXU — i.e. deformable im2col where the gather
-is the only non-matmul work, sharing machinery with the MSDA op.
+fractional position; we bilinearly sample all K*K taps, modulate by the
+sigmoid mask, and reduce with ONE (K*K*Cin) x Cout matmul on the MXU — i.e.
+deformable im2col where the gather is the only non-matmul work.
+
+Fast path (bf16 inputs): all four bilinear corners of a tap are packed as
+PAIRS of bf16 values inside s32 lanes — (x0,x1) at y0 in lanes [0,Cin),
+(x0,x1) at y1 in lanes [Cin,2Cin) — because the v5e gather engine moves s32
+rows at ~3.2 ns/row up to 512 lanes (measured; bf16 rows cost 4.7-6.7 ns).
+Unpacking is free on the VPU: a bf16 is the top half of its f32 widening, so
+lo = bitcast_f32(v << 16), hi = bitcast_f32(v & 0xFFFF0000).  The bilinear
+reduction is separable (x-lerp inside each s32, then y-lerp across the two
+halves) with mask and validity folded into the lerp weights, so nothing
+wider than (rows, 2*Cin) is ever materialized.
+
+The bit-level packing is not differentiable, so the op is a custom_vjp whose
+backward is jax.vjp over the straightforward (clean) formulation — under the
+backbone's remat the clean forward is recomputed in backward anyway.
 
 Offset channel layout matches mmcv's kernel: per kernel tap k (row-major),
 offset[..., 2k] = dy_k, offset[..., 2k+1] = dx_k.
@@ -21,6 +34,167 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _sample_geometry(x_shape, offset, kernel_size, stride, padding, dilation):
+    """Shared sampling-position math: returns (sy, sx, valid) in f32."""
+    B, H, W, Cin = x_shape
+    Kh, Kw = kernel_size
+    K = Kh * Kw
+    Ho, Wo = offset.shape[1], offset.shape[2]
+
+    oy = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
+    ox = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
+    ky = jnp.arange(Kh, dtype=jnp.float32) * dilation
+    kx = jnp.arange(Kw, dtype=jnp.float32) * dilation
+    base_y = (oy[:, None, None, None] + ky[None, None, :, None])  # (Ho,1,Kh,1)
+    base_x = (ox[None, :, None, None] + kx[None, None, None, :])  # (1,Wo,1,Kw)
+    base_y = jnp.broadcast_to(base_y, (Ho, Wo, Kh, Kw))
+    base_x = jnp.broadcast_to(base_x, (Ho, Wo, Kh, Kw))
+
+    off = offset.reshape(offset.shape[0], Ho, Wo, K, 2).astype(jnp.float32)
+    sy = base_y.reshape(1, Ho, Wo, K) + off[..., 0]
+    sx = base_x.reshape(1, Ho, Wo, K) + off[..., 1]
+    valid = (sy > -1.0) & (sy < H) & (sx > -1.0) & (sx < W)
+    return sy, sx, valid
+
+
+def _mdcn_clean(x, offset, mask, weight, kernel_size, stride, padding,
+                dilation):
+    """Straightforward 4-corner formulation (any dtype; defines gradients)."""
+    B, H, W, Cin = x.shape
+    K = kernel_size[0] * kernel_size[1]
+    Ho, Wo = offset.shape[1], offset.shape[2]
+
+    sy, sx, valid = _sample_geometry(x.shape, offset, kernel_size, stride,
+                                     padding, dilation)
+    yp = sy + 1.0
+    xp = sx + 1.0
+    y0 = jnp.floor(yp)
+    x0 = jnp.floor(xp)
+    ly = (yp - y0).astype(x.dtype)
+    lx = (xp - x0).astype(x.dtype)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+
+    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))       # zero ring
+    v4 = jnp.concatenate(
+        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
+        axis=-1).reshape(B, (H + 1) * (W + 1), 4 * Cin)
+
+    idx = (y0c * (W + 1) + x0c).reshape(B, -1)             # (B, N*K)
+    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)  # (B, N*K, 4*Cin)
+
+    vmask = valid.reshape(B, -1, 1).astype(x.dtype)
+    lyf = ly.reshape(B, -1, 1) * vmask
+    lxf = lx.reshape(B, -1, 1)
+    w00 = (vmask - lyf) * (1 - lxf)
+    w01 = (vmask - lyf) * lxf
+    w10 = lyf * (1 - lxf)
+    w11 = lyf * lxf
+    sampled = (rows[..., 0 * Cin:1 * Cin] * w00
+               + rows[..., 1 * Cin:2 * Cin] * w01
+               + rows[..., 2 * Cin:3 * Cin] * w10
+               + rows[..., 3 * Cin:4 * Cin] * w11)         # (B, N*K, Cin)
+
+    sampled = sampled.reshape(B, Ho, Wo, K, Cin) * mask[..., None].astype(x.dtype)
+    cols = sampled.reshape(B, Ho, Wo, K * Cin)
+    return jnp.einsum("bhwk,kc->bhwc", cols, weight.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _pack_pairs(a, b):
+    """Pack two bf16 arrays into one s32 lane: a low 16 bits, b high."""
+    au = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+    bu = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    return (au | (bu << 16)).astype(jnp.int32)
+
+
+def _unpack_lo_f32(v):
+    """Exact f32 value of the bf16 in the low 16 bits (bf16 = f32 top half)."""
+    return jax.lax.bitcast_convert_type(v << 16, jnp.float32)
+
+
+def _unpack_hi_f32(v):
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride, padding,
+                    dilation):
+    """s32 pair-packed corner gather + separable bilinear (bf16 x only)."""
+    B, H, W, Cin = x.shape
+    K = kernel_size[0] * kernel_size[1]
+    Ho, Wo = offset.shape[1], offset.shape[2]
+
+    sy, sx, valid = _sample_geometry(x.shape, offset, kernel_size, stride,
+                                     padding, dilation)
+    yp = sy + 1.0
+    xp = sx + 1.0
+    y0 = jnp.floor(yp)
+    x0 = jnp.floor(xp)
+    ly = yp - y0
+    lx = xp - x0
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+
+    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    row_y0 = _pack_pairs(v[:, :-1, :-1, :], v[:, :-1, 1:, :])
+    row_y1 = _pack_pairs(v[:, 1:, :-1, :], v[:, 1:, 1:, :])
+    tab = jnp.concatenate([row_y0, row_y1], axis=-1).reshape(
+        B * (H + 1) * (W + 1), 2 * Cin)
+
+    idx = (jnp.arange(B, dtype=jnp.int32)[:, None] * ((H + 1) * (W + 1))
+           + (y0c * (W + 1) + x0c).reshape(B, -1)).reshape(-1)
+    rows = tab.at[idx].get(mode="promise_in_bounds")       # (B*N*K, 2*Cin)
+
+    mf = mask.astype(jnp.float32).reshape(-1) * valid.reshape(-1).astype(
+        jnp.float32)
+    lyf = ly.reshape(-1)
+    lxf = lx.reshape(-1)
+    wx0 = ((1.0 - lxf) * mf)[:, None]
+    wx1 = (lxf * mf)[:, None]
+    wy0 = (1.0 - lyf)[:, None]
+    wy1 = lyf[:, None]
+
+    r0 = rows[:, :Cin]
+    r1 = rows[:, Cin:]
+    top = _unpack_lo_f32(r0) * wx0 + _unpack_hi_f32(r0) * wx1
+    bot = _unpack_lo_f32(r1) * wx0 + _unpack_hi_f32(r1) * wx1
+    sampled = (top * wy0 + bot * wy1).astype(jnp.bfloat16)
+
+    sampled = sampled.reshape(B * Ho * Wo, K, Cin)
+    out = jax.lax.dot_general(sampled,
+                              weight.reshape(K, Cin, -1).astype(jnp.bfloat16),
+                              (((1, 2), (0, 1)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(B, Ho, Wo, -1).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _mdcn_fast(x, offset, mask, weight, kernel_size, stride, padding,
+               dilation):
+    return _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride,
+                           padding, dilation)
+
+
+def _mdcn_fast_fwd(x, offset, mask, weight, kernel_size, stride, padding,
+                   dilation):
+    out = _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride,
+                          padding, dilation)
+    return out, (x, offset, mask, weight)
+
+
+def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
+    x, offset, mask, weight = res
+    _, vjp = jax.vjp(
+        lambda a, o, m, w: _mdcn_clean(a, o, m, w, kernel_size, stride,
+                                       padding, dilation),
+        x, offset, mask, weight)
+    return vjp(g)
+
+
+_mdcn_fast.defvjp(_mdcn_fast_fwd, _mdcn_fast_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "stride", "padding", "dilation"))
@@ -42,67 +216,12 @@ def modulated_deform_conv2d(x: jnp.ndarray,
       weight: (Kh*Kw*Cin, Cout) — tap-major (kernel position outer, Cin inner).
       bias: (Cout,) or None.
     """
-    B, H, W, Cin = x.shape
-    Kh, Kw = kernel_size
-    K = Kh * Kw
-    Ho, Wo = offset.shape[1], offset.shape[2]
-
-    # Base sampling grid: output pixel (i, j), tap (u, v) samples input at
-    # (i*stride - padding + u*dilation + dy, j*stride - padding + v*dilation + dx).
-    oy = jnp.arange(Ho, dtype=jnp.float32) * stride - padding
-    ox = jnp.arange(Wo, dtype=jnp.float32) * stride - padding
-    ky = jnp.arange(Kh, dtype=jnp.float32) * dilation
-    kx = jnp.arange(Kw, dtype=jnp.float32) * dilation
-    base_y = (oy[:, None, None, None] + ky[None, None, :, None])  # (Ho,1,Kh,1)
-    base_x = (ox[None, :, None, None] + kx[None, None, None, :])  # (1,Wo,1,Kw)
-    base_y = jnp.broadcast_to(base_y, (Ho, Wo, Kh, Kw))
-    base_x = jnp.broadcast_to(base_x, (Ho, Wo, Kh, Kw))
-
-    off = offset.reshape(B, Ho, Wo, K, 2).astype(jnp.float32)
-    sy = base_y.reshape(1, Ho, Wo, K) + off[..., 0]
-    sx = base_x.reshape(1, Ho, Wo, K) + off[..., 1]
-
-    # Bilinear sample with zero padding outside, via the corner-packed
-    # layout: the TPU gather engine moves ~one row per fixed cost regardless
-    # of row width (measured 7.7 ns/row at both 128 and 256 lanes), so
-    # packing all four corners into one 4*Cin-wide row quarters gather time.
-    valid = (sy > -1.0) & (sy < H) & (sx > -1.0) & (sx < W)
-    yp = sy + 1.0
-    xp = sx + 1.0
-    y0 = jnp.floor(yp)
-    x0 = jnp.floor(xp)
-    ly = (yp - y0).astype(x.dtype)
-    lx = (xp - x0).astype(x.dtype)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
-
-    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))       # zero ring
-    v4 = jnp.concatenate(
-        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
-        axis=-1).reshape(B, (H + 1) * (W + 1), 4 * Cin)
-
-    idx = (y0c * (W + 1) + x0c).reshape(B, -1)             # (B, N*K)
-    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)  # (B, N*K, 4*Cin)
-
-    vmask = valid.reshape(B, -1, 1).astype(x.dtype)
-    lyf = ly.reshape(B, -1, 1) * vmask
-    lxf = lx.reshape(B, -1, 1)
-    # slice-fma over the four packed corners — avoids materializing a
-    # (B, N*K, 4, Cin) intermediate + reshape (measured ~140 ms at flagship
-    # scale in the DCN stages alone)
-    w00 = (vmask - lyf) * (1 - lxf)
-    w01 = (vmask - lyf) * lxf
-    w10 = lyf * (1 - lxf)
-    w11 = lyf * lxf
-    sampled = (rows[..., 0 * Cin:1 * Cin] * w00
-               + rows[..., 1 * Cin:2 * Cin] * w01
-               + rows[..., 2 * Cin:3 * Cin] * w10
-               + rows[..., 3 * Cin:4 * Cin] * w11)         # (B, N*K, Cin)
-
-    sampled = sampled.reshape(B, Ho, Wo, K, Cin) * mask[..., None].astype(x.dtype)
-    cols = sampled.reshape(B, Ho, Wo, K * Cin)
-    out = jnp.einsum("bhwk,kc->bhwc", cols, weight.astype(x.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if x.dtype == jnp.bfloat16:
+        out = _mdcn_fast(x, offset, mask, weight, kernel_size, stride,
+                         padding, dilation)
+    else:
+        out = _mdcn_clean(x, offset, mask, weight, kernel_size, stride,
+                          padding, dilation)
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out

@@ -107,6 +107,93 @@ def _slab_level(value: jnp.ndarray, H: int, W: int,
     return samp.reshape(BH, Q, P, D).sum(axis=2)
 
 
+def _pack_pairs(a, b):
+    """Pack two bf16 arrays into one s32 lane: a low 16 bits, b high."""
+    au = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+    bu = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    return (au | (bu << 16)).astype(jnp.int32)
+
+
+def _unpack_lo_f32(v):
+    """Exact f32 value of the bf16 in the low 16 bits (bf16 = f32 top half)."""
+    return jax.lax.bitcast_convert_type(v << 16, jnp.float32)
+
+
+def _unpack_hi_f32(v):
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _slab_level_fast_impl(value: jnp.ndarray, H: int, W: int,
+                          loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+    """bf16 fast path: corners packed as bf16 PAIRS in s32 lanes.
+
+    The v5e gather engine moves s32 rows at ~3.2 ns/row (vs 4.7-7.5 for
+    bf16), and a bf16 unpacks to f32 for free on the VPU (it is the top half
+    of its f32 widening).  Rows hold (x0,x1) pairs at y0 in lanes [0, D) and
+    at y1 in lanes [D, 2D); the bilinear lerp is separable with the
+    attention weight and validity folded into the x-lerp weights.
+    """
+    BH, _, D = value.shape
+    Q, P = loc.shape[1], loc.shape[2]
+    v = value.reshape(BH, H, W, D)
+    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    row_y0 = _pack_pairs(v[:, :-1, :-1], v[:, :-1, 1:])
+    row_y1 = _pack_pairs(v[:, 1:, :-1], v[:, 1:, 1:])
+    tab = jnp.concatenate([row_y0, row_y1], axis=-1).reshape(
+        BH * (H + 1) * (W + 1), 2 * D)
+
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+    xp = x + 1.0
+    yp = y + 1.0
+    x0 = jnp.floor(xp)
+    y0 = jnp.floor(yp)
+    lx = (xp - x0).astype(jnp.float32)
+    ly = (yp - y0).astype(jnp.float32)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+
+    idx = (jnp.arange(BH, dtype=jnp.int32)[:, None] * ((H + 1) * (W + 1))
+           + (y0c * (W + 1) + x0c).reshape(BH, -1)).reshape(-1)
+    rows = tab.at[idx].get(mode="promise_in_bounds")       # (BH*Q*P, 2D)
+
+    w = (attn.astype(jnp.float32) * valid.astype(jnp.float32)).reshape(-1)
+    lxf = lx.reshape(-1)
+    wx0 = ((1.0 - lxf) * w)[:, None]
+    wx1 = (lxf * w)[:, None]
+    lyf = ly.reshape(-1)
+    wy0 = (1.0 - lyf)[:, None]
+    wy1 = lyf[:, None]
+
+    r0 = rows[:, :D]
+    r1 = rows[:, D:]
+    top = _unpack_lo_f32(r0) * wx0 + _unpack_hi_f32(r0) * wx1
+    bot = _unpack_lo_f32(r1) * wx0 + _unpack_hi_f32(r1) * wx1
+    samp = (top * wy0 + bot * wy1).astype(value.dtype)
+    return samp.reshape(BH, Q, P, D).sum(axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _slab_level_fast(value, H, W, loc, attn):
+    return _slab_level_fast_impl(value, H, W, loc, attn)
+
+
+def _slab_level_fast_fwd(value, H, W, loc, attn):
+    return _slab_level_fast_impl(value, H, W, loc, attn), (value, loc, attn)
+
+
+def _slab_level_fast_bwd(H, W, res, g):
+    value, loc, attn = res
+    _, vjp = jax.vjp(lambda v, l, a: _slab_level(v, H, W, l, a),
+                     value, loc, attn)
+    return vjp(g)
+
+
+_slab_level_fast.defvjp(_slab_level_fast_fwd, _slab_level_fast_bwd)
+
+
 def _onehot_level(value: jnp.ndarray, H: int, W: int,
                   loc: jnp.ndarray, attn: jnp.ndarray,
                   query_chunk: int = 4096) -> jnp.ndarray:
@@ -202,6 +289,9 @@ def ms_deform_attn(value: jnp.ndarray,
             out = out + _onehot_level(v_l, H, W, loc_bh[:, :, l],
                                       attn_bh[:, :, l],
                                       query_chunk or 4096)
+        elif value.dtype == jnp.bfloat16:
+            out = out + _slab_level_fast(v_l, H, W, loc_bh[:, :, l],
+                                         attn_bh[:, :, l])
         else:
             out = out + _slab_level(v_l, H, W, loc_bh[:, :, l],
                                     attn_bh[:, :, l])
