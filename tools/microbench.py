@@ -26,23 +26,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def bench(fn, *args, iters=10, name=""):
     """fn must return an array; times `iters` sequential applications."""
 
+    # perturb the smallest arg every iteration (prevents hoisting the whole
+    # fn out of the loop as loop-invariant) and reduce the FULL output into
+    # the carry (prevents DCE narrowing the op to one element).
+    sizes = [x.size * x.dtype.itemsize for x in args]
+    pidx = int(np.argmin(sizes))
+
     @jax.jit
     def loop(*a):
         def body(i, carry):
-            out = fn(*carry[1:])
-            # fold a scalar of the output back into the first arg to chain
-            x = carry[1]
-            x = x + (out.reshape(-1)[0] * 0).astype(x.dtype)
-            return (carry[0], x) + carry[2:]
-        return jax.lax.fori_loop(0, iters, body, (0,) + args)[1]
+            acc, args_ = carry
+            out = fn(*args_)
+            acc = acc + jnp.sum(out.astype(jnp.float32))
+            la = list(args_)
+            p = la[pidx]
+            la[pidx] = p + (acc * 0).astype(p.dtype)
+            return (acc, tuple(la))
+        return jax.lax.fori_loop(0, iters, body,
+                                 (jnp.float32(0.0), args))[0]
 
     r = loop(*args)
-    jax.device_get(r.reshape(-1)[0])
+    jax.device_get(r)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         r = loop(*args)
-        jax.device_get(r.reshape(-1)[0])
+        jax.device_get(r)
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"{name}: {best * 1e3:.3f} ms")
     return best
@@ -212,6 +221,85 @@ def bench_dcn2():
     bench(fn, x, offset, mask, weight, bias, name="dcn v2 packed (stage3)")
     x4, o4, m4, w4, b4 = _dcn_inputs(B=6, H=29, W=50, Cin=512, Cout=512)
     bench(fn, x4, o4, m4, w4, b4, name="dcn v2 packed (stage4)")
+
+
+
+
+def bench_msda():
+    from unibev_tpu.ops.msda import _slab_level, _slab_level_fast
+    rng = np.random.RandomState(0)
+    BH, H, W, D, Q, P = 8, 200, 200, 32, 40000, 8
+    value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+    attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+    bench(lambda v, l, a: _slab_level(v, H, W, l, a), value, loc, attn,
+          name="slab clean bf16 (ptsSCA shape)")
+    bench(lambda v, l, a: _slab_level_fast(v, H, W, l, a), value, loc, attn,
+          name="slab fast s32 (ptsSCA shape)")
+
+
+
+
+def bench_lanes():
+    """s32 gather rate at 32/64/96/128 lanes and bigger tables."""
+    rng = np.random.RandomState(0)
+    n_rows = 2_560_000
+    for table_rows in (40_000, 323_208):
+        for lanes in (32, 64, 128):
+            tab = jnp.asarray(
+                rng.randint(-2**30, 2**30, (table_rows, lanes)), jnp.int32)
+            idx = jnp.asarray(rng.randint(0, table_rows, n_rows), jnp.int32)
+            fn = lambda t, i: t.at[i].get(mode="promise_in_bounds")
+            dt = bench(fn, tab, idx,
+                       name=f"s32 take tab={table_rows} lanes={lanes}")
+            print(f"   -> {dt / n_rows * 1e9:.2f} ns/row")
+
+
+
+
+def bench_idxfuse():
+    rng = np.random.RandomState(0)
+    n_rows = 2_560_000
+    table_rows = 323_208
+    tab = jnp.asarray(rng.randint(-2**30, 2**30, (table_rows, 64)), jnp.int32)
+    raw = jnp.asarray(rng.rand(n_rows), jnp.float32)
+    def fn_fused(t, r):
+        i = jnp.clip((r * (table_rows - 1)).astype(jnp.int32), 0, table_rows - 1)
+        return t.at[i].get(mode="promise_in_bounds")
+    dt = bench(fn_fused, tab, raw, name="s32 take, idx computed inline")
+    print(f"   -> {dt / n_rows * 1e9:.2f} ns/row")
+    def fn_barrier(t, r):
+        i = jnp.clip((r * (table_rows - 1)).astype(jnp.int32), 0, table_rows - 1)
+        i = jax.lax.optimization_barrier(i)
+        return t.at[i].get(mode="promise_in_bounds")
+    dt = bench(fn_barrier, tab, raw, name="s32 take, idx behind opt barrier")
+    print(f"   -> {dt / n_rows * 1e9:.2f} ns/row")
+
+
+
+
+def bench_tabfuse():
+    rng = np.random.RandomState(0)
+    n_rows = 2_560_000
+    table_rows = 323_208
+    a = jnp.asarray(rng.randn(table_rows, 32), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(table_rows, 32), jnp.bfloat16)
+    idx = jnp.asarray(rng.randint(0, table_rows, n_rows), jnp.int32)
+    def pack(a, b):
+        au = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
+        bu = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+        return (au | (bu << 16)).astype(jnp.int32)
+    def fn_inline(a, b, i):
+        t = jnp.concatenate([pack(a, b), pack(b, a)], axis=-1)
+        return t.at[i].get(mode="promise_in_bounds")
+    dt = bench(fn_inline, a, b, idx, name="s32 take, tab packed inline")
+    print(f"   -> {dt / n_rows * 1e9:.2f} ns/row")
+    def fn_barrier(a, b, i):
+        t = jnp.concatenate([pack(a, b), pack(b, a)], axis=-1)
+        t = jax.lax.optimization_barrier(t)
+        return t.at[i].get(mode="promise_in_bounds")
+    dt = bench(fn_barrier, a, b, idx, name="s32 take, tab behind barrier")
+    print(f"   -> {dt / n_rows * 1e9:.2f} ns/row")
 
 
 if __name__ == "__main__":

@@ -159,22 +159,12 @@ class MSDeformableAttention3D(nn.Module):
         loc = loc.reshape(B, Q, self.num_heads, self.num_levels,
                           self.num_points, 2)
 
-        # Small single-level value maps (camera SCA) use the fused Pallas
-        # one-hot->MXU kernel on TPU; everywhere else the XLA packed gather.
-        H_l, W_l = spatial_shapes[0]
-        if (len(spatial_shapes) == 1 and H_l * W_l <= 2500
-                and jax.default_backend() == "tpu"):
-            from unibev_tpu.ops.msda_pallas import ms_deform_attn_smallv
-            v_bh = v.transpose(0, 2, 1, 3).reshape(B * self.num_heads, -1,
-                                                   head_dim)
-            loc_bh = loc.transpose(0, 2, 1, 3, 4, 5).reshape(
-                B * self.num_heads, Q, self.num_points, 2)
-            attn_bh = weights.transpose(0, 2, 1, 3, 4).reshape(
-                B * self.num_heads, Q, self.num_points)
-            out = ms_deform_attn_smallv(v_bh, (H_l, W_l), loc_bh, attn_bh,
-                                        variant="onehot")
-            return out.reshape(B, self.num_heads, Q, head_dim).transpose(
-                0, 2, 1, 3).reshape(B, Q, self.embed_dims)
+        # All shapes route through the XLA packed-gather MSDA: its grouped
+        # small-table fast path (ops/msda.py _slab_level_fast) measured ~3x
+        # faster than the Pallas one-hot->MXU kernel that used to own the
+        # small-value-map case (flagship LC 693 -> 571 ms/sample when the
+        # Pallas branch was retired; ops/msda_pallas.py remains as a tested
+        # reference kernel).
         fn = lambda v_, l_, w_: ms_deform_attn(
             v_, tuple(spatial_shapes), l_, w_, query_chunk=self.query_chunk)
         if self.remat:

@@ -107,41 +107,26 @@ def _slab_level(value: jnp.ndarray, H: int, W: int,
     return samp.reshape(BH, Q, P, D).sum(axis=2)
 
 
-def _pack_pairs(a, b):
-    """Pack two bf16 arrays into one s32 lane: a low 16 bits, b high."""
-    au = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(jnp.uint32)
-    bu = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
-    return (au | (bu << 16)).astype(jnp.int32)
+def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
+                     loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+    """Small-table fast path: per-head-group gathers from <=20 MB tables.
 
-
-def _unpack_lo_f32(v):
-    """Exact f32 value of the bf16 in the low 16 bits (bf16 = f32 top half)."""
-    return jax.lax.bitcast_convert_type(v << 16, jnp.float32)
-
-
-def _unpack_hi_f32(v):
-    u = jax.lax.bitcast_convert_type(v, jnp.uint32) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(u, jnp.float32)
-
-
-def _slab_level_fast_impl(value: jnp.ndarray, H: int, W: int,
-                          loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
-    """bf16 fast path: corners packed as bf16 PAIRS in s32 lanes.
-
-    The v5e gather engine moves s32 rows at ~3.2 ns/row (vs 4.7-7.5 for
-    bf16), and a bf16 unpacks to f32 for free on the VPU (it is the top half
-    of its f32 widening).  Rows hold (x0,x1) pairs at y0 in lanes [0, D) and
-    at y1 in lanes [D, 2D); the bilinear lerp is separable with the
-    attention weight and validity folded into the x-lerp weights.
+    The v5e gather engine runs at ~3.4 ns/row when the source table stays
+    under ~20 MB and ~12 ns/row above (measured, tools/microbench.py), so
+    instead of one batched gather over all BH heads' corner-packed maps we
+    loop over groups of heads whose stacked tables fit the fast window.
+    promise_in_bounds indexing kills the jnp.take fill-select (a full-width
+    extra pass); corner weights fold attention weight and validity.
     """
     BH, _, D = value.shape
     Q, P = loc.shape[1], loc.shape[2]
     v = value.reshape(BH, H, W, D)
-    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    row_y0 = _pack_pairs(v[:, :-1, :-1], v[:, :-1, 1:])
-    row_y1 = _pack_pairs(v[:, 1:, :-1], v[:, 1:, 1:])
-    tab = jnp.concatenate([row_y0, row_y1], axis=-1).reshape(
-        BH * (H + 1) * (W + 1), 2 * D)
+    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))       # zero ring
+    v4 = jnp.concatenate(
+        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
+        axis=-1)                                           # (BH, H+1, W+1, 4D)
+    TR = (H + 1) * (W + 1)
+    v4 = v4.reshape(BH, TR, 4 * D)
 
     x = loc[..., 0] * W - 0.5
     y = loc[..., 1] * H - 0.5
@@ -150,48 +135,38 @@ def _slab_level_fast_impl(value: jnp.ndarray, H: int, W: int,
     yp = y + 1.0
     x0 = jnp.floor(xp)
     y0 = jnp.floor(yp)
-    lx = (xp - x0).astype(jnp.float32)
-    ly = (yp - y0).astype(jnp.float32)
+    lx = (xp - x0).astype(value.dtype)
+    ly = (yp - y0).astype(value.dtype)
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
     y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+    idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
 
-    idx = (jnp.arange(BH, dtype=jnp.int32)[:, None] * ((H + 1) * (W + 1))
-           + (y0c * (W + 1) + x0c).reshape(BH, -1)).reshape(-1)
-    rows = tab.at[idx].get(mode="promise_in_bounds")       # (BH*Q*P, 2D)
+    w = (attn * valid.astype(attn.dtype)).astype(value.dtype).reshape(
+        BH, Q * P, 1)
+    lyf = ly.reshape(BH, Q * P, 1) * w
+    lxf = lx.reshape(BH, Q * P, 1)
+    w00 = (w - lyf) * (1 - lxf)
+    w01 = (w - lyf) * lxf
+    w10 = lyf * (1 - lxf)
+    w11 = lyf * lxf
 
-    w = (attn.astype(jnp.float32) * valid.astype(jnp.float32)).reshape(-1)
-    lxf = lx.reshape(-1)
-    wx0 = ((1.0 - lxf) * w)[:, None]
-    wx1 = (lxf * w)[:, None]
-    lyf = ly.reshape(-1)
-    wy0 = (1.0 - lyf)[:, None]
-    wy1 = lyf[:, None]
-
-    r0 = rows[:, :D]
-    r1 = rows[:, D:]
-    top = _unpack_lo_f32(r0) * wx0 + _unpack_hi_f32(r0) * wx1
-    bot = _unpack_lo_f32(r1) * wx0 + _unpack_hi_f32(r1) * wx1
-    samp = (top * wy0 + bot * wy1).astype(value.dtype)
-    return samp.reshape(BH, Q, P, D).sum(axis=2)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _slab_level_fast(value, H, W, loc, attn):
-    return _slab_level_fast_impl(value, H, W, loc, attn)
-
-
-def _slab_level_fast_fwd(value, H, W, loc, attn):
-    return _slab_level_fast_impl(value, H, W, loc, attn), (value, loc, attn)
-
-
-def _slab_level_fast_bwd(H, W, res, g):
-    value, loc, attn = res
-    _, vjp = jax.vjp(lambda v, l, a: _slab_level(v, H, W, l, a),
-                     value, loc, attn)
-    return vjp(g)
-
-
-_slab_level_fast.defvjp(_slab_level_fast_fwd, _slab_level_fast_bwd)
+    bytes_per_head = TR * 4 * D * value.dtype.itemsize
+    G = max(1, min(BH, int(20e6 // max(bytes_per_head, 1))))
+    while BH % G:
+        G -= 1
+    offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]
+    outs = []
+    for g in range(0, BH, G):
+        tab = v4[g:g + G].reshape(G * TR, 4 * D)
+        fidx = (idx[g:g + G] + offs).reshape(-1)
+        rows = tab.at[fidx].get(mode="promise_in_bounds")
+        rows = rows.reshape(G, Q * P, 4 * D)
+        samp = (rows[..., 0 * D:1 * D] * w00[g:g + G]
+                + rows[..., 1 * D:2 * D] * w01[g:g + G]
+                + rows[..., 2 * D:3 * D] * w10[g:g + G]
+                + rows[..., 3 * D:4 * D] * w11[g:g + G])
+        outs.append(samp.reshape(G, Q, P, D).sum(axis=2))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def _onehot_level(value: jnp.ndarray, H: int, W: int,
