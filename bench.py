@@ -24,6 +24,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--modality", default="LC", choices=["LC", "L", "C"],
                    help="sensor combination to bench (headline: LC)")
+    p.add_argument("--batch", type=int, default=2,
+                   help="inference batch size; throughput reported "
+                        "per-sample (samples/s/chip)")
     args = p.parse_args()
 
     from unibev_tpu.flagship import build_flagship, synthetic_batch
@@ -32,7 +35,7 @@ def main():
     model = build_flagship(use_lidar="L" in args.modality,
                            use_camera="C" in args.modality)
     rng = np.random.RandomState(0)
-    batch = synthetic_batch(rng)
+    batch = synthetic_batch(rng, B=args.batch)
 
     variables = jax.jit(lambda b: model.init(
         dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
@@ -54,7 +57,7 @@ def main():
             out = predict(variables, batch)
         jax.device_get(out["scores"])
         best = min(best, (time.perf_counter() - t0) / n_iters)
-    dt = best
+    dt = best / args.batch                 # per-sample
     samples_per_sec = 1.0 / dt
 
     baseline = 2.0  # assumed reference GPU samples/s (no published number)
@@ -64,6 +67,8 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / baseline, 3),
         "ms_per_sample": round(dt * 1e3, 1),
+        "batch": args.batch,
+        "ms_per_dispatch": round(best * 1e3, 1),
         "device": str(jax.devices()[0]),
     }))
 

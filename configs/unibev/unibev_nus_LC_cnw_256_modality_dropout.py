@@ -105,6 +105,12 @@ model = dict(
     type='UniBEV',
     use_grid_mask=True,
     img_shape=(900, 1600),
+    # TPU-critical knobs — the config-built model IS the benched model
+    # (unibev_tpu/flagship.py builds this same dict; test_configs asserts it):
+    # bf16 compute everywhere outside the force-fp32 zones, per-camera
+    # top-K SCA rebatch (the sca_topk_overflow intermediate must stay 0),
+    # and query chunking for the deformable-attention sampling matrices.
+    dtype='bfloat16',
     pts_voxel_layer=dict(
         max_num_points=10, voxel_size=voxel_size,
         point_cloud_range=point_cloud_range,
@@ -137,6 +143,7 @@ model = dict(
         type='UniBEV_Head', bev_h=bev_h_, bev_w=bev_w_, num_query=900,
         num_classes=10, in_channels=_dim_, sync_cls_avg_factor=True,
         with_box_refine=True, as_two_stage=False,
+        query_chunk=10000,
         pc_range=point_cloud_range,
         transformer=dict(
             type='UniBEVTransformer',
@@ -157,6 +164,7 @@ model = dict(
                              embed_dims=_dim_, num_levels=1),
                         dict(type='SpatialCrossAttentionImg',
                              pc_range=point_cloud_range,
+                             rebatch_k=12800,
                              deformable_attention=dict(
                                  type='MSDeformableAttention3DImg',
                                  embed_dims=_dim_, num_points=8,

@@ -69,3 +69,26 @@ def test_focal_loss_matches_torch():
     alpha_t = 0.25 * onehot + 0.75 * (1 - onehot)
     ref = (alpha_t * (1 - p_t) ** 2.0 * ce).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_nmsfree_coder_threshold_decay_loop():
+    """Reference nms_free_coder.py:64-73: the score threshold is relaxed by
+    0.9x until at least one box passes (all pass if it decays below 0.01)."""
+    import jax.numpy as jnp
+    from unibev_tpu.core.bbox.coders import NMSFreeCoder
+
+    coder = NMSFreeCoder(pc_range=(-54, -54, -5, 54, 54, 3),
+                         post_center_range=(-61, -61, -10, 61, 61, 10),
+                         max_num=4, score_threshold=0.5, num_classes=2)
+    # logits so low every sigmoid score is ~0.12 << 0.5
+    logits = jnp.full((3, 2), -2.0)
+    preds = jnp.zeros((3, 10))
+    out = coder.decode_single(logits, preds)
+    # reference semantics: threshold decays 0.5 -> ... until 0.119 passes
+    assert bool(np.asarray(out["valid"]).any())
+    # and a normal case still filters
+    logits2 = jnp.asarray([[3.0, -9.0], [-9.0, -9.0], [-9.0, -9.0]])
+    out2 = coder.decode_single(logits2, preds)
+    v = np.asarray(out2["valid"])
+    s = np.asarray(out2["scores"])
+    assert v[0] and s[0] > 0.5 and not v[1:].any()

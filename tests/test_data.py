@@ -124,3 +124,35 @@ def test_threaded_dataloader_order_and_coverage():
         seen.extend(batch["x"][:, 0].tolist())
     assert seen == list(range(17))  # deterministic order despite threads
     assert len(dl) == 5
+
+
+def test_pipeline_rng_is_per_sample_deterministic():
+    """VERDICT r1 weak #10: same (seed, epoch, index) -> same augmentation,
+    regardless of loader threading/order."""
+    from unibev_tpu.data.pipelines import PhotoMetricDistortionMultiViewImage
+    img = np.random.RandomState(0).rand(4, 6, 3).astype(np.float32) * 255
+
+    def run(seed):
+        results = dict(img=[img.copy()],
+                       rng=np.random.default_rng(seed))
+        out = PhotoMetricDistortionMultiViewImage()(results)
+        return out["img"][0]
+
+    np.testing.assert_array_equal(run(7), run(7))
+    assert not np.array_equal(run(7), run(8))
+
+
+def test_multiscale_flipaug3d_identity_wrapper():
+    from unibev_tpu.registry import PIPELINES, build_from_cfg
+    cfg = dict(type="MultiScaleFlipAug3D",
+               img_scale=(1600, 900), pts_scale_ratio=1, flip=False,
+               transforms=[dict(type="PointsRangeFilter",
+                                point_cloud_range=[-1, -1, -1, 1, 1, 1])])
+    aug = build_from_cfg(cfg, PIPELINES)
+    pts = np.array([[0, 0, 0, 1, 1], [5, 5, 5, 1, 1]], np.float32)
+    out = aug(dict(points=pts.copy()))
+    assert len(out["points"]) == 1
+    # >1 scale / flip rejected loudly
+    import pytest
+    with pytest.raises(NotImplementedError):
+        build_from_cfg(dict(cfg, flip=True), PIPELINES)

@@ -165,3 +165,71 @@ def test_subm_gather_conv_grad_matches_default_ad():
     gf2, gw2 = jax.grad(f_default, argnums=(0, 1))(jnp.array(feats), jnp.array(w))
     np.testing.assert_allclose(np.array(gf1), np.array(gf2), atol=1e-4)
     np.testing.assert_allclose(np.array(gw1), np.array(gw2), atol=1e-4)
+
+
+def test_xpair_cols_match_plain_gather_subm():
+    """x-pair packed im2col == the 27-narrow-row gather, bitwise (bf16)."""
+    import jax
+    from unibev_tpu.ops.sparse_conv import (make_xpair_plan, xpair_cols,
+                                            subm_xpair_conv, subm_gather_conv)
+    rng = np.random.RandomState(3)
+    B, D, H, W, Cin, Cout = 2, 6, 12, 12, 8, 8
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 220, 256)
+    feats = feats.astype(np.float32)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
+
+    fb = jnp.asarray(feats, jnp.bfloat16)
+    cols_fast = np.asarray(xpair_cols(fb, plan), np.float32)
+    fpad = jnp.concatenate([fb, jnp.zeros((1, Cin), jnp.bfloat16)], 0)
+    cols_ref = np.asarray(jnp.take(fpad, nidx.reshape(-1), axis=0).reshape(
+        256, 27 * Cin), np.float32)
+    np.testing.assert_array_equal(cols_fast, cols_ref)
+
+    w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
+    out_fast = np.asarray(subm_xpair_conv(fb, nidx, plan, w, grid.mask),
+                          np.float32)
+    out_ref = np.asarray(subm_gather_conv(fb, nidx, w, grid.mask), np.float32)
+    np.testing.assert_allclose(out_fast, out_ref, atol=1e-2, rtol=1e-2)
+
+    # gradients: custom bwd == plain path bwd
+    def loss_fast(f, w_):
+        return (subm_xpair_conv(f, nidx, plan, w_, grid.mask) ** 2).sum()
+
+    def loss_ref(f, w_):
+        return (subm_gather_conv(f, nidx, w_, grid.mask) ** 2).sum()
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(fb, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(fb, w)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+
+
+def test_xpair_cols_match_plain_gather_strided():
+    from unibev_tpu.ops.sparse_conv import (downsample_with_table,
+                                            make_xpair_plan,
+                                            strided_xpair_conv)
+    rng = np.random.RandomState(4)
+    B, D, H, W, Cin, Cout = 1, 7, 14, 14, 8, 8
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 200, 256)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    out_shape = ((D + 2 * 1 - 3) // 2 + 1, (H - 1) // 2 + 1, (W - 1) // 2 + 1)
+    co, mo, _, _ = downsample_with_table(
+        grid.coords, grid.mask, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape,
+        128, B)
+    sidx = strided_neighbor_idx(grid, table, co, mo, (3, 3, 3), (2, 2, 2),
+                                (1, 1, 1))
+    splan = make_xpair_plan(sidx, nidx[:, 14], 256)
+
+    fb = jnp.asarray(feats, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
+    out_fast = np.asarray(strided_xpair_conv(fb, sidx, splan, w, mo),
+                          np.float32)
+    out_ref = np.asarray(gather_conv(fb, sidx, w, mo), np.float32)
+    np.testing.assert_allclose(out_fast, out_ref, atol=1e-2, rtol=1e-2)

@@ -62,6 +62,27 @@ def sensor_to_other(calib_a, ego_a, calib_b, ego_b):
     return R, t
 
 
+def _ann_velocity(ann, ann_t, sample_t, max_time_diff=1.5):
+    """devkit NuScenes.box_velocity: (pos_next - pos_prev) / dt in the global
+    frame using the neighboring keyframe annotations of the same instance;
+    zeros when no neighbor exists or the gap exceeds max_time_diff."""
+    has_prev = bool(ann.get("prev"))
+    has_next = bool(ann.get("next"))
+    if not has_prev and not has_next:
+        return np.zeros(3)
+    first = ann_t[ann["prev"]] if has_prev else ann
+    last = ann_t[ann["next"]] if has_next else ann
+    pos_first = np.asarray(first["translation"])
+    pos_last = np.asarray(last["translation"])
+    t_first = sample_t[first["sample_token"]]["timestamp"] / 1e6
+    t_last = sample_t[last["sample_token"]]["timestamp"] / 1e6
+    dt = t_last - t_first
+    if dt > max_time_diff or dt <= 0:
+        return np.zeros(3)
+    v = (pos_last - pos_first) / dt
+    return np.nan_to_num(v)
+
+
 def build_infos(root, version, max_sweeps=10):
     sample_t, samples = load_table(root, version, "sample")
     sd_t, sds = load_table(root, version, "sample_data")
@@ -72,6 +93,10 @@ def build_infos(root, version, max_sweeps=10):
     ann_t, anns = load_table(root, version, "sample_annotation")
     inst_t, _ = load_table(root, version, "instance")
     cat_t, _ = load_table(root, version, "category")
+    try:
+        attr_t, _ = load_table(root, version, "attribute")
+    except FileNotFoundError:
+        attr_t = {}
 
     sd_by_sample = defaultdict(list)
     for r in sds:
@@ -131,8 +156,8 @@ def build_infos(root, version, max_sweeps=10):
             ))
 
         # annotations in the lidar frame
-        gt_boxes, gt_names, gt_velocity = [], [], []
-        num_lidar_pts = []
+        gt_boxes, gt_names, gt_velocity, gt_attrs = [], [], [], []
+        num_lidar_pts, num_radar_pts = [], []
         Rl = quaternion_to_rotation(l_calib["rotation"])
         Rle = quaternion_to_rotation(l_ego["rotation"])
         for ann in ann_by_sample[sample["token"]]:
@@ -148,8 +173,18 @@ def build_infos(root, version, max_sweeps=10):
             # v0.18 gt_boxes layout: (cx, cy, cz_bottom, w, l, h, yaw)
             gt_boxes.append([xl[0], xl[1], xl[2] - h / 2, w, l, h, yaw])
             gt_names.append(cat)
-            gt_velocity.append([0.0, 0.0])
+            # devkit box_velocity: central difference over neighboring
+            # keyframe annotations of the same instance (<= 0.5 s apart each
+            # side), in the GLOBAL frame, rotated into lidar; nan -> 0
+            # (mmdet3d convention).
+            v_global = _ann_velocity(ann, ann_t, sample_t)
+            v_l = Rl.T @ (Rle.T @ v_global)
+            gt_velocity.append([v_l[0], v_l[1]])
+            toks = ann.get("attribute_tokens", [])
+            gt_attrs.append(attr_t[toks[0]]["name"]
+                            if toks and toks[0] in attr_t else "")
             num_lidar_pts.append(ann.get("num_lidar_pts", 1))
+            num_radar_pts.append(ann.get("num_radar_pts", 0))
 
         infos.append(dict(
             token=sample["token"],
@@ -161,7 +196,9 @@ def build_infos(root, version, max_sweeps=10):
             gt_boxes=np.asarray(gt_boxes, np.float32).reshape(-1, 7),
             gt_names=gt_names,
             gt_velocity=np.asarray(gt_velocity, np.float32).reshape(-1, 2),
+            gt_attrs=gt_attrs,
             num_lidar_pts=np.asarray(num_lidar_pts, np.int64),
+            num_radar_pts=np.asarray(num_radar_pts, np.int64),
             valid_flag=np.asarray(num_lidar_pts, np.int64) > 0,
         ))
 

@@ -302,6 +302,181 @@ def bench_tabfuse():
     print(f"   -> {dt / n_rows * 1e9:.2f} ns/row")
 
 
+
+
+def _subm_inputs(V, Cin, Cout, density=0.7, seed=0):
+    """Random active set + realistic neighbor tables (density = P(neighbor
+    active); stage0 nuScenes measures ~0.2-0.4 but perf only depends on
+    index distribution, which is random either way)."""
+    rng = np.random.RandomState(seed)
+    feats = jnp.asarray(rng.randn(V, Cin), jnp.bfloat16)
+    # 27-tap neighbor indices: random, with (1-density) pointing at V (empty)
+    nidx = rng.randint(0, V, (V, 27)).astype(np.int32)
+    empty = rng.rand(V, 27) > density
+    nidx[empty] = V
+    nidx[:, 13] = np.arange(V)          # center tap = self
+    return feats, jnp.asarray(nidx)
+
+
+def bench_subm27():
+    """Current formulation at every stage config."""
+    from unibev_tpu.ops.sparse_conv import gather_conv
+    for (V, Cin, Cout, n_convs) in ((120000, 16, 16, 5), (90000, 32, 32, 4),
+                                    (60000, 64, 64, 4), (40000, 128, 128, 4)):
+        feats, nidx = _subm_inputs(V, Cin, Cout)
+        w = jnp.asarray(np.random.RandomState(1).randn(27 * Cin, Cout) * .05,
+                        jnp.bfloat16)
+        mask = jnp.ones((V,), bool)
+        dt = bench(gather_conv, feats, nidx, w, mask,
+                   name=f"subm27 V={V} C={Cin}")
+        print(f"   stage total ~{dt * n_convs * 1e3:.1f} ms ({n_convs} convs)")
+
+
+def _quad_pack4(f0, f1, f2, f3):
+    lo = _pack_pairs(f0, f1)
+    hi = _pack_pairs(f2, f3)
+    return jnp.concatenate([lo, hi], axis=-1)   # (V, 2*Cin) s32
+
+
+def subm_quad(feats, anchors, case, x_chain, weight):
+    """x-quad formulation: 9 wide rows per voxel instead of 27 narrow.
+
+    feats: (V, Cin) bf16; anchors: (V, 9) row of quad table per (dz,dy);
+    case: (V, 9) in {0: center-active, 1: left-anchor, 2: right-anchor};
+    x_chain: (V, 3) indices of x-1, x+1, x+2 rows (V = empty).
+    """
+    V, Cin = feats.shape
+    fpad = jnp.concatenate([feats, jnp.zeros((1, Cin), feats.dtype)], axis=0)
+    fm1 = fpad.at[x_chain[:, 0]].get(mode="promise_in_bounds")
+    fp1 = fpad.at[x_chain[:, 1]].get(mode="promise_in_bounds")
+    fp2 = fpad.at[x_chain[:, 2]].get(mode="promise_in_bounds")
+    tab = _quad_pack4(fm1, feats, fp1, fp2)      # (V, 2Cin) s32
+    tab = jnp.concatenate([tab, jnp.zeros((1, 2 * Cin), jnp.int32)], axis=0)
+    rows = tab.at[anchors.reshape(-1)].get(mode="promise_in_bounds")
+    rows = rows.reshape(V, 9, 2 * Cin)
+    l0 = _unpack_lo_f32(rows[..., :Cin]).astype(jnp.bfloat16)
+    l1 = _unpack_hi_f32(rows[..., :Cin]).astype(jnp.bfloat16)
+    l2 = _unpack_lo_f32(rows[..., Cin:]).astype(jnp.bfloat16)
+    l3 = _unpack_hi_f32(rows[..., Cin:]).astype(jnp.bfloat16)
+    c = case[..., None]
+    zero = jnp.zeros_like(l0)
+    tm1 = jnp.where(c == 0, l0, jnp.where(c == 1, l1, zero))
+    t0 = jnp.where(c == 0, l1, jnp.where(c == 1, l2, l0))
+    tp1 = jnp.where(c == 0, l2, jnp.where(c == 1, l3, l1))
+    cols = jnp.stack([tm1, t0, tp1], axis=2).reshape(V, 27 * Cin)
+    return jnp.dot(cols, weight.astype(feats.dtype),
+                   preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def bench_subm9():
+    rng = np.random.RandomState(0)
+    for (V, Cin, Cout, n_convs) in ((120000, 16, 16, 5), (90000, 32, 32, 4),
+                                    (60000, 64, 64, 4), (40000, 128, 128, 4)):
+        feats = jnp.asarray(rng.randn(V, Cin), jnp.bfloat16)
+        anchors = jnp.asarray(rng.randint(0, V, (V, 9)), jnp.int32)
+        case = jnp.asarray(rng.randint(0, 3, (V, 9)), jnp.int32)
+        x_chain = jnp.asarray(rng.randint(0, V, (V, 3)), jnp.int32)
+        w = jnp.asarray(rng.randn(27 * Cin, Cout) * .05, jnp.bfloat16)
+        dt = bench(subm_quad, feats, anchors, case, x_chain, w,
+                   name=f"subm9 V={V} C={Cin}")
+        print(f"   stage total ~{dt * n_convs * 1e3:.1f} ms ({n_convs} convs)")
+
+
+def bench_dense3d():
+    """Dense conv3d alternative for the late stages (grid small enough)."""
+    rng = np.random.RandomState(0)
+    for (D, H, W, C, V, n_convs) in ((11, 360, 360, 64, 60000, 4),
+                                     (5, 180, 180, 128, 40000, 4)):
+        dense = jnp.asarray(rng.randn(1, D, H, W, C), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, 3, C, C) * .05, jnp.bfloat16)
+        def fn(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+        dt = bench(fn, dense, w, name=f"dense3d {D}x{H}x{W}x{C}")
+        print(f"   stage total ~{dt * n_convs * 1e3:.1f} ms ({n_convs} convs)")
+        # scatter in / gather out cost
+        coords = jnp.asarray(rng.randint(0, D * H * W, (V,)), jnp.int32)
+        feats = jnp.asarray(rng.randn(V, C), jnp.bfloat16)
+        def scatter(f, c):
+            return jnp.zeros((D * H * W, C), f.dtype).at[c].set(f)
+        bench(scatter, feats, coords, name=f"  scatter V={V} C={C}")
+        def gather(x, c):
+            return x.reshape(D * H * W, C).at[c].get(mode="promise_in_bounds")
+        bench(gather, dense, coords, name=f"  gather V={V} C={C}")
+
+
+def bench_dcn3():
+    """DCN gather: one big 73MB table vs per-camera 12MB tables."""
+    rng = np.random.RandomState(0)
+    B, H, W, Cin, K = 6, 58, 100, 256, 9
+    N = H * W * K
+    tab = jnp.asarray(rng.randint(-2**30, 2**30,
+                                  (B * (H + 1) * (W + 1), 2 * Cin)), jnp.int32)
+    idx = jnp.asarray(rng.randint(0, (H + 1) * (W + 1), (B, N)), jnp.int32)
+
+    def big(t, i):
+        off = (jnp.arange(B, dtype=jnp.int32) * (H + 1) * (W + 1))[:, None]
+        return t.at[(i + off).reshape(-1)].get(mode="promise_in_bounds")
+
+    def per_cam(t, i):
+        t = t.reshape(B, (H + 1) * (W + 1), 2 * Cin)
+        outs = [t[b].at[i[b]].get(mode="promise_in_bounds") for b in range(B)]
+        return jnp.concatenate(outs, axis=0)
+
+    dt = bench(big, tab, idx, name="dcn gather one 73MB table")
+    print(f"   -> {dt / (B * N) * 1e9:.2f} ns/row")
+    dt = bench(per_cam, tab, idx, name="dcn gather per-camera 12MB tables")
+    print(f"   -> {dt / (B * N) * 1e9:.2f} ns/row")
+
+
+
+def subm_pair(feats, anchorA, anchorB, case, xp1, weight):
+    """x-pair formulation: 18 rows per voxel, table = 2x feats bytes.
+
+    pack2[c] = (f[c], f[x+1 of c]); per x-triple (cl, cm, cr):
+      case0 (cl active):            A=pack2[cl] -> (t_l, t_m) = (A.lo, A.hi); t_r = B.lo
+      case1 (cl empty, cm active):  A=pack2[cm] -> (t_l, t_m, t_r) = (0, A.lo, A.hi)
+      case2 (cl, cm empty):         (0, 0, B.lo)
+    with B = pack2[cr] always.
+    """
+    V, Cin = feats.shape
+    fpad = jnp.concatenate([feats, jnp.zeros((1, Cin), feats.dtype)], axis=0)
+    fp1 = fpad.at[xp1].get(mode="promise_in_bounds")
+    tab = _pack_pairs(feats, fp1)
+    tab = jnp.concatenate([tab, jnp.zeros((1, Cin), jnp.int32)], axis=0)
+    A = tab.at[anchorA.reshape(-1)].get(mode="promise_in_bounds").reshape(
+        V, 9, Cin)
+    B = tab.at[anchorB.reshape(-1)].get(mode="promise_in_bounds").reshape(
+        V, 9, Cin)
+    alo = _unpack_lo_f32(A).astype(jnp.bfloat16)
+    ahi = _unpack_hi_f32(A).astype(jnp.bfloat16)
+    blo = _unpack_lo_f32(B).astype(jnp.bfloat16)
+    c = case[..., None]
+    zero = jnp.zeros_like(alo)
+    tl = jnp.where(c == 0, alo, zero)
+    tm = jnp.where(c == 0, ahi, jnp.where(c == 1, alo, zero))
+    tr = jnp.where(c == 0, blo, jnp.where(c == 1, ahi, blo))
+    cols = jnp.stack([tl, tm, tr], axis=2).reshape(V, 27 * Cin)
+    return jnp.dot(cols, weight.astype(feats.dtype),
+                   preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def bench_subm18():
+    rng = np.random.RandomState(0)
+    for (V, Cin, Cout, n_convs) in ((120000, 16, 16, 5), (90000, 32, 32, 4),
+                                    (60000, 64, 64, 4), (40000, 128, 128, 4)):
+        feats = jnp.asarray(rng.randn(V, Cin), jnp.bfloat16)
+        aA = jnp.asarray(rng.randint(0, V, (V, 9)), jnp.int32)
+        aB = jnp.asarray(rng.randint(0, V, (V, 9)), jnp.int32)
+        case = jnp.asarray(rng.randint(0, 3, (V, 9)), jnp.int32)
+        xp1 = jnp.asarray(rng.randint(0, V, (V,)), jnp.int32)
+        w = jnp.asarray(rng.randn(27 * Cin, Cout) * .05, jnp.bfloat16)
+        dt = bench(subm_pair, feats, aA, aB, case, xp1, w,
+                   name=f"subm18 V={V} C={Cin}")
+        print(f"   stage total ~{dt * n_convs * 1e3:.1f} ms ({n_convs} convs)")
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"
     globals()[f"bench_{which}"]()

@@ -47,6 +47,12 @@ def main():
     import jax
     import numpy as np
 
+    # Multi-host init FIRST (reference init_dist at train_UniBEV.py:157-165):
+    # no-ops single-host; on pods/clusters it wires the coordinator so every
+    # jax.device_count()/process_index() below sees the full mesh.
+    from unibev_tpu.parallel.dist import init_dist
+    init_dist()
+
     from unibev_tpu.config.config import Config, parse_cfg_option_value
     from unibev_tpu.data.nuscenes_dataset import (NuScenesDataset,
                                                   SyntheticNuScenes, collate)
@@ -109,12 +115,14 @@ def main():
     runner = Runner(model, train_ds, cfg, work_dir, logger,
                     val_dataset=val_ds, eval_fn=eval_fn, seed=args.seed)
 
+    # The loader shards indices per process (parallel.dist.shard_indices),
+    # so each host loads only its LOCAL slice of the global batch.
     spg = int(cfg.get("samples_per_gpu", 1))
-    B = spg * jax.device_count()
+    B_local = spg * jax.local_device_count()
     workers = int(cfg.get("workers_per_gpu", 2))
 
     from unibev_tpu.data.loader import DataLoader
-    loader = DataLoader(train_ds, batch_size=B, shuffle=True,
+    loader = DataLoader(train_ds, batch_size=B_local, shuffle=True,
                         num_workers=workers, seed=args.seed)
 
     def batch_iter():

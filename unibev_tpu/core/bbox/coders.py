@@ -4,8 +4,10 @@ Contract from the reference ``NMSFreeCoder`` (/root/reference/projects/UniBEV/
 unibev_plugin/core/bbox/coders/nms_free_coder.py:52-121): sigmoid scores over
 all (query, class) pairs, flat top-k (max_num=300), label = flat_idx %
 num_classes, denormalize, then a post-center-range mask.  The reference's
-score-threshold decay loop is train-free eval logic; here threshold filtering
-is expressed through the validity mask (static shapes).
+score-threshold DECAY loop (:64-73 — when nothing clears the threshold it is
+relaxed by 0.9x until something does, or fully below 0.01) is reproduced
+with a jittable lax.while_loop; filtering stays a validity mask (static
+shapes).
 """
 
 from __future__ import annotations
@@ -45,7 +47,25 @@ class NMSFreeCoder:
 
         valid = jnp.ones_like(topk_scores, dtype=bool)
         if self.score_threshold is not None:
-            valid &= topk_scores > self.score_threshold
+            # reference decay loop (nms_free_coder.py:64-73): never returns
+            # an empty set because of the threshold alone
+            def cond(state):
+                _, mask = state
+                return ~mask.any()
+
+            def body(state):
+                tmp, mask = state
+                tmp = tmp * 0.9
+                mask = jnp.where(tmp < 0.01,
+                                 jnp.ones_like(mask),
+                                 topk_scores >= tmp)
+                return tmp, mask
+
+            _, thresh_mask = jax.lax.while_loop(
+                cond, body,
+                (jnp.float32(self.score_threshold),
+                 topk_scores > self.score_threshold))
+            valid &= thresh_mask
         if self.post_center_range is not None:
             pcr = jnp.asarray(self.post_center_range, jnp.float32)
             centers = boxes[:, :3]

@@ -43,6 +43,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         idxs = self._indices()
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = self.epoch   # fresh per-epoch augmentations
         self.epoch += 1
         batches = [idxs[i:i + self.batch_size]
                    for i in range(0, len(idxs) - self.batch_size + 1,

@@ -88,8 +88,10 @@ class NuScenesDataset:
                  use_valid_flag: bool = False, load_interval: int = 1,
                  box_type_3d: str = "LiDAR", filter_empty_gt: bool = True,
                  max_points: int = 300000, max_gt: int = 140,
-                 with_velocity: bool = True, **kwargs):
+                 with_velocity: bool = True, seed: int = 0, **kwargs):
         self.data_root = data_root
+        self.seed = seed
+        self.epoch = 0   # bump per epoch for fresh augmentations
         self.classes = list(classes)
         self.modality = modality or dict(use_lidar=True, use_camera=True)
         self.test_mode = test_mode
@@ -174,6 +176,10 @@ class NuScenesDataset:
     def __getitem__(self, index: int) -> Dict[str, Any]:
         results = self.get_data_info(index)
         results["box_type_3d"] = "LiDAR"
+        # per-sample seeded generator: reproducible under the threaded
+        # loader regardless of worker scheduling (--seed/--deterministic)
+        results["rng"] = np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch * 97 + index) & 0x7FFFFFFF)
         return self.pipeline(results)
 
 

@@ -111,17 +111,20 @@ class LoadRadarPointsFromMultiSweeps:
         self.max_num = max_num
         self.compensate_velocity = compensate_velocity
 
-    def _pad_or_drop(self, points: np.ndarray) -> np.ndarray:
+    def _pad_or_drop(self, points: np.ndarray,
+                     rng: np.random.Generator) -> np.ndarray:
         n = len(points)
         if n >= self.max_num:
-            idx = np.random.choice(n, self.max_num, replace=False)
+            idx = rng.choice(n, self.max_num, replace=False)
             return points[idx]
         if n == 0:
             return np.zeros((self.max_num, points.shape[1]), np.float32)
-        idx = np.random.choice(n, self.max_num - n, replace=True)
+        idx = rng.choice(n, self.max_num - n, replace=True)
         return np.concatenate([points, points[idx]], axis=0)
 
     def __call__(self, results):
+        from unibev_tpu.data.pipelines import _rng
+        rng = _rng(results)
         radar_info = results.get("radar_info", {}) or {}
         all_points = []
         for radar_name, sweeps in radar_info.items():
@@ -146,7 +149,7 @@ class LoadRadarPointsFromMultiSweeps:
             points = np.concatenate(all_points, axis=0).astype(np.float32)
         else:
             points = np.zeros((0, len(self.use_dim) + 1), np.float32)
-        results["radar"] = self._pad_or_drop(points)
+        results["radar"] = self._pad_or_drop(points, rng)
         results["radar_mask"] = np.ones((self.max_num,), bool) if len(points) \
             else np.zeros((self.max_num,), bool)
         return results

@@ -161,6 +161,12 @@ class ImgEncoder(nn.Module):
             K = min(rebatch_k, bev_h * bev_w)
             order = jnp.argsort(~hit, axis=-1, stable=True)  # hits first
             topk_idx = order[..., :K].astype(jnp.int32)       # (B, N, K)
+            # PARITY.md claims "identical math when K covers all hits" —
+            # sow the overflow so that claim is checkable at runtime
+            # (read via mutable=['intermediates']; tests assert it is 0).
+            hit_count = hit.sum(axis=-1).astype(jnp.int32)    # (B, N)
+            self.sow("intermediates", "sca_topk_overflow",
+                     jnp.maximum(hit_count - K, 0))
 
         for i in range(self.num_layers):
             bev_query = BEVEncoderLayer(

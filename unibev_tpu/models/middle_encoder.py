@@ -25,10 +25,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from unibev_tpu.ops.sparse_conv import (SparseGrid, build_table, gather_conv,
-                                        subm_gather_conv,
-                                        downsample_active_set,
+from unibev_tpu.ops.sparse_conv import (SparseGrid, best_gather_conv,
+                                        build_table, downsample_active_set,
                                         downsample_with_table,
+                                        make_xpair_plan,
                                         strided_neighbor_idx,
                                         subm_neighbor_idx, to_dense)
 from unibev_tpu.registry import MIDDLE_ENCODERS, VOXEL_ENCODERS
@@ -87,12 +87,14 @@ class SubMConvBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, neighbor_idx, mask, *, train: bool = False):
+    def __call__(self, feats, neighbor_idx, mask, plan=None,
+                 *, train: bool = False):
         cin = feats.shape[-1]
         K = neighbor_idx.shape[-1]
         w = self.param("weight", nn.initializers.he_normal(),
                        (K * cin, self.out_channels))
-        out = subm_gather_conv(feats, neighbor_idx, w, mask)
+        out = best_gather_conv(feats, neighbor_idx, w, mask, plan=plan,
+                               subm=True)
         out = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
                               name="bn")(out, mask, train=train)
         return nn.relu(out) if self.relu else out
@@ -103,12 +105,15 @@ class SparseBasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, neighbor_idx, mask, *, train: bool = False):
+    def __call__(self, feats, neighbor_idx, mask, plan=None,
+                 *, train: bool = False):
         identity = feats
         out = SubMConvBN(self.channels, relu=True, dtype=self.dtype,
-                         name="conv1")(feats, neighbor_idx, mask, train=train)
+                         name="conv1")(feats, neighbor_idx, mask, plan=plan,
+                                       train=train)
         out = SubMConvBN(self.channels, relu=False, dtype=self.dtype,
-                         name="conv2")(out, neighbor_idx, mask, train=train)
+                         name="conv2")(out, neighbor_idx, mask, plan=plan,
+                                       train=train)
         return nn.relu(out + identity)
 
 
@@ -139,9 +144,13 @@ class SparseEncoder(nn.Module):
         grid = SparseGrid(coords, mask, (D, H, W), batch_size)
         table = build_table(grid)
         nidx = subm_neighbor_idx(grid, table)
+        # x-pair plan per resolution: tap (0,0,+1) is column 14 of the
+        # (dz,dy,dx) row-major 3x3x3 table
+        plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
 
         x = SubMConvBN(self.encoder_channels[0][0], dtype=self.dtype,
-                       name="conv_input")(voxel_feats, nidx, mask, train=train)
+                       name="conv_input")(voxel_feats, nidx, mask, plan=plan,
+                                          train=train)
 
         n_stages = len(self.encoder_channels)
         for i, blocks in enumerate(self.encoder_channels):
@@ -150,7 +159,7 @@ class SparseEncoder(nn.Module):
             for j in range(n_basic):
                 x = SparseBasicBlock(blocks[j], dtype=self.dtype,
                                      name=f"stage{i}_block{j}")(
-                    x, nidx, grid.mask, train=train)
+                    x, nidx, grid.mask, plan=plan, train=train)
             if last_is_down:
                 pad = self.encoder_paddings[i][-1]
                 pad = (pad, pad, pad) if isinstance(pad, int) else tuple(pad)
@@ -162,16 +171,21 @@ class SparseEncoder(nn.Module):
                     out_shape, self.capacities[i + 1], batch_size)
                 sidx = strided_neighbor_idx(grid, table, co, mo,
                                             (3, 3, 3), (2, 2, 2), pad)
+                # strided plan: anchors from sidx, x-successors of the INPUT
+                # resolution (sentinel = input row count)
+                splan = make_xpair_plan(sidx, plan.xp1,
+                                        grid.coords.shape[0])
                 cin = x.shape[-1]
                 w = self.param(f"down{i}_weight", nn.initializers.he_normal(),
                                (27 * cin, blocks[-1]))
-                x = gather_conv(x, sidx, w, mo)
+                x = best_gather_conv(x, sidx, w, mo, plan=splan)
                 x = MaskedBatchNorm(blocks[-1], dtype=self.dtype,
                                     name=f"down{i}_bn")(x, mo, train=train)
                 x = nn.relu(x)
                 grid = SparseGrid(co, mo, out_shape, batch_size)
                 table = new_table
                 nidx = subm_neighbor_idx(grid, table)
+                plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
 
         # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z only.
         out_shape = ((grid.shape[0] - 3) // 2 + 1, grid.shape[1], grid.shape[2])
@@ -180,10 +194,11 @@ class SparseEncoder(nn.Module):
             out_shape, self.capacities[-1], batch_size)
         sidx = strided_neighbor_idx(grid, table, co, mo, (3, 1, 1), (2, 1, 1),
                                     (0, 0, 0))
+        # NO x-pair plan here: the (3,1,1) kernel's 3 taps run along Z, not X
         cin = x.shape[-1]
         w = self.param("conv_out_weight", nn.initializers.he_normal(),
                        (3 * cin, self.output_channels))
-        x = gather_conv(x, sidx, w, mo)
+        x = best_gather_conv(x, sidx, w, mo, plan=None)
         x = MaskedBatchNorm(self.output_channels, dtype=self.dtype,
                             name="conv_out_bn")(x, mo, train=train)
         x = nn.relu(x)

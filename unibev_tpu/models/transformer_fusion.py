@@ -115,15 +115,24 @@ class UniBEVTransformer(nn.Module):
             dtype=self.dtype, name="decoder")
 
     def channel_feature_norm(self, img_bev, pts_bev, l_flag, c_flag,
+                             cnw_weights: Optional[tuple] = None,
                              *, deterministic: bool = True):
-        """CNW / MLP-CNW / ModalityProjection, with the one-sided-softmax rule."""
+        """CNW / MLP-CNW / ModalityProjection, with the one-sided-softmax rule.
+
+        ``cnw_weights=(img_w, pts_w)`` bypasses param creation so the method
+        is callable standalone (torch-twin goldens); the production path
+        (called from the compact ``__call__``) creates them via self.param.
+        """
         C = self.embed_dims
         both = (l_flag > 0.5) & (c_flag > 0.5)
         if self.feature_norm == "ChannelNormWeights":
-            img_w = self.param("img_channel_weights",
-                               nn.initializers.normal(1.0), (C,))
-            pts_w = self.param("pts_channel_weights",
-                               nn.initializers.normal(1.0), (C,))
+            if cnw_weights is not None:
+                img_w, pts_w = cnw_weights
+            else:
+                img_w = self.param("img_channel_weights",
+                                   nn.initializers.normal(1.0), (C,))
+                pts_w = self.param("pts_channel_weights",
+                                   nn.initializers.normal(1.0), (C,))
             stacked = jnp.stack([img_w, pts_w])             # (2, C)
             joint = jax.nn.softmax(stacked, axis=0)
             # Per-modality softmax over a single row is identically 1.0.
@@ -131,10 +140,12 @@ class UniBEVTransformer(nn.Module):
             pts_n = jnp.where(both, joint[1], 1.0)
             # vis_output analog (reference transformer_fusion.py:530-570):
             # intermediates are sown instead of torch.save-dumped; request
-            # mutable=['intermediates'] on apply to collect them.
-            self.sow("intermediates", "cnw_feature_weights", stacked)
-            self.sow("intermediates", "cnw_img_norm_weights", img_n)
-            self.sow("intermediates", "cnw_pts_norm_weights", pts_n)
+            # mutable=['intermediates'] on apply to collect them.  (Guarded
+            # so the method stays callable standalone/unbound in goldens.)
+            if self.scope is not None:
+                self.sow("intermediates", "cnw_feature_weights", stacked)
+                self.sow("intermediates", "cnw_img_norm_weights", img_n)
+                self.sow("intermediates", "cnw_pts_norm_weights", pts_n)
             img_bev = img_bev * img_n.astype(img_bev.dtype)
             pts_bev = pts_bev * pts_n.astype(pts_bev.dtype)
         elif self.feature_norm in ("MLP_ChannelNormWeights",

@@ -10,12 +10,15 @@ resume (optimizer + step + rng restored).
 
 from __future__ import annotations
 
+import logging
 import os
 import os.path as osp
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger("unibev")
 
 
 class CheckpointManager:
@@ -54,6 +57,25 @@ class CheckpointManager:
                                     args=ocp.args.StandardRestore(state_template))
 
 
+def restore_state_from(path: str, state_template: Any) -> Any:
+    """Restore a full TrainState from an EXPLICIT checkpoint path.
+
+    Mirrors the reference's ``--resume-from <path>`` (train_UniBEV.py:36-37 ->
+    runner.resume): the path may be either an orbax CheckpointManager root
+    (work_dir/checkpoints — latest step is used) or a single step directory.
+    Raises FileNotFoundError rather than silently training from scratch.
+    """
+    path = osp.abspath(path)
+    if not osp.isdir(path):
+        raise FileNotFoundError(f"--resume-from: no checkpoint at {path}")
+    step_dirs = [d for d in os.listdir(path) if d.isdigit()]
+    if step_dirs:  # CheckpointManager root layout
+        mgr = ocp.CheckpointManager(path)
+        step = mgr.latest_step()
+        return mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+    return ocp.StandardCheckpointer().restore(path, state_template)
+
+
 def save_params(path: str, variables: Any) -> None:
     """One-shot save of model variables (for test-CLI style checkpoints)."""
     ckpt = ocp.StandardCheckpointer()
@@ -62,37 +84,61 @@ def save_params(path: str, variables: Any) -> None:
 
 
 def load_params(path: str, template: Any = None) -> Any:
-    """Restore a checkpoint, tolerating tree mismatches.
+    """Restore a checkpoint, tolerating tree mismatches — LOUDLY.
 
     The UniBEV workflow evaluates single-modality models from an L+C-trained
     checkpoint (reference inference configs, SURVEY §3.4): the checkpoint
     holds MORE subtrees than the eval model (e.g. camera backbone params for
     an L-only model).  Matching paths are copied; template-only leaves keep
-    their initialization; extra checkpoint subtrees are ignored.
+    their initialization; extra checkpoint subtrees are ignored.  Every
+    kept-init / dropped / shape-mismatched path is logged (a converter bug
+    must never silently become an accuracy loss).
     """
     ckpt = ocp.StandardCheckpointer()
     if template is None:
         return ckpt.restore(osp.abspath(path))
-    try:
-        return ckpt.restore(osp.abspath(path), template)
-    except (ValueError, KeyError, TypeError):
-        raw = ckpt.restore(osp.abspath(path))
-        return _merge_intersection(template, raw)
+    raw = ckpt.restore(osp.abspath(path))
+    kept, dropped = [], []
+    merged = _merge_intersection(template, raw, "", kept, dropped)
+    for p in kept:
+        logger.warning(f"load_params: '{p}' missing/mismatched in checkpoint "
+                       f"{path} — keeping initialization")
+    for p in dropped:
+        logger.info(f"load_params: checkpoint subtree '{p}' not in model — "
+                    f"ignored")
+    if kept:
+        logger.warning(f"load_params: {len(kept)} leaves kept init, "
+                       f"{len(dropped)} checkpoint subtrees ignored")
+    return merged
 
 
-def _merge_intersection(template: Any, raw: Any) -> Any:
+def _merge_intersection(template: Any, raw: Any, path: str = "",
+                        kept: Optional[list] = None,
+                        dropped: Optional[list] = None) -> Any:
     import numpy as np
+    kept = kept if kept is not None else []
+    dropped = dropped if dropped is not None else []
     if isinstance(template, dict) or hasattr(template, "keys"):
         out = {}
-        raw_d = raw if (isinstance(raw, dict) or hasattr(raw, "keys")) else {}
+        raw_d = dict(raw) if (isinstance(raw, dict) or hasattr(raw, "keys")) \
+            else {}
         for k, v in dict(template).items():
-            out[k] = _merge_intersection(v, dict(raw_d).get(k)) \
-                if k in dict(raw_d) else v
+            sub = f"{path}/{k}" if path else str(k)
+            if k in raw_d:
+                out[k] = _merge_intersection(v, raw_d[k], sub, kept, dropped)
+            else:
+                out[k] = v
+                kept.append(sub)
+        for k in raw_d:
+            if k not in dict(template):
+                dropped.append(f"{path}/{k}" if path else str(k))
         return out
     if raw is None:
+        kept.append(path)
         return template
     rv = np.asarray(raw)
     tv = np.asarray(template)
     if rv.shape != tv.shape:
+        kept.append(f"{path} (shape {rv.shape} != {tv.shape})")
         return template
     return rv.astype(tv.dtype)

@@ -2,13 +2,16 @@
 
 Runs the jitted predict over the val dataset at epoch end and computes the
 nuScenes metric (SURVEY §5: EvalHook / val workflow, reference config :417).
-Multi-host: each process evaluates its index shard and results are
-all-gathered (the TPU replacement for the reference's rank0-pickle collect).
+Multi-host: each process evaluates its index shard; per-sample results are
+packed into fixed-shape arrays and all-gathered, then merged in dataset
+order with pad-duplicate samples dropped — the TPU replacement for the
+reference's rank0-pickle collect (models/apis/test.py:116-160), which also
+truncates the padded tail.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -16,6 +19,70 @@ import numpy as np
 from unibev_tpu.data.eval import evaluate_detections
 from unibev_tpu.data.nuscenes_dataset import collate
 from unibev_tpu.parallel.dist import process_allgather, shard_indices
+
+_MAX_PRED = 300   # NMSFreeCoder max_num (reference config :377)
+_MAX_GT = 256
+
+
+def _pack_results(preds: List[dict], gts: List[dict],
+                  idxs: np.ndarray) -> Dict[str, np.ndarray]:
+    """Fixed-shape arrays for cross-process allgather."""
+    n = len(preds)
+    out = dict(
+        idx=np.asarray(idxs[:n], np.int32),
+        pred_boxes=np.zeros((n, _MAX_PRED, 9), np.float32),
+        pred_scores=np.zeros((n, _MAX_PRED), np.float32),
+        pred_labels=np.zeros((n, _MAX_PRED), np.int32),
+        pred_n=np.zeros((n,), np.int32),
+        gt_boxes=np.zeros((n, _MAX_GT, 9), np.float32),
+        gt_labels=np.zeros((n, _MAX_GT), np.int32),
+        gt_n=np.zeros((n,), np.int32),
+    )
+    for i, (p, g) in enumerate(zip(preds, gts)):
+        np_, ng = min(len(p["boxes"]), _MAX_PRED), min(len(g["boxes"]), _MAX_GT)
+        out["pred_boxes"][i, :np_] = p["boxes"][:np_, :9]
+        out["pred_scores"][i, :np_] = p["scores"][:np_]
+        out["pred_labels"][i, :np_] = p["labels"][:np_]
+        out["pred_n"][i] = np_
+        out["gt_boxes"][i, :ng] = np.asarray(g["boxes"],
+                                             np.float32).reshape(-1, 9)[:ng]
+        out["gt_labels"][i, :ng] = g["labels"][:ng]
+        out["gt_n"][i] = ng
+    return out
+
+
+def _unpack_results(gathered: Dict[str, np.ndarray]
+                    ) -> Tuple[List[dict], List[dict]]:
+    """Merge (possibly multi-host-stacked) packed results in dataset order,
+    keeping the first occurrence of every sample index (shard padding
+    duplicates samples; the reference's collect_results truncates them)."""
+    flat = {k: np.asarray(v) for k, v in gathered.items()}
+
+    # normalize leading dims: allgather stacks a process axis in front
+    def norm(a, trailing):
+        return a.reshape((-1,) + a.shape[a.ndim - trailing:]) \
+            if trailing else a.reshape(-1)
+    idx = norm(flat["idx"], 0)
+    order = np.argsort(idx, kind="stable")
+    seen = set()
+    preds, gts = [], []
+    pb = norm(flat["pred_boxes"], 2)
+    ps = norm(flat["pred_scores"], 1)
+    pl = norm(flat["pred_labels"], 1)
+    pn = norm(flat["pred_n"], 0)
+    gb = norm(flat["gt_boxes"], 2)
+    gl = norm(flat["gt_labels"], 1)
+    gn = norm(flat["gt_n"], 0)
+    for j in order:
+        i = int(idx[j])
+        if i in seen:
+            continue
+        seen.add(i)
+        k = int(pn[j])
+        preds.append(dict(boxes=pb[j, :k], scores=ps[j, :k], labels=pl[j, :k]))
+        k = int(gn[j])
+        gts.append(dict(boxes=gb[j, :k], labels=gl[j, :k]))
+    return preds, gts
 
 
 def make_eval_fn(model, max_samples: Optional[int] = None):
@@ -52,8 +119,9 @@ def make_eval_fn(model, max_samples: Optional[int] = None):
                 v = np.asarray(sample["gt_valid"])
                 gts.append(dict(boxes=g[v],
                                 labels=np.asarray(sample["gt_labels"])[v]))
-        gathered = process_allgather(dict(n=np.asarray([len(preds)])))
-        del gathered  # shard sizes are equal by construction
+        if jax.process_count() > 1:
+            gathered = process_allgather(_pack_results(preds, gts, idxs))
+            preds, gts = _unpack_results(gathered)
         classes = getattr(dataset, "classes", [str(i) for i in range(10)])
         return evaluate_detections(preds, gts, classes)
 

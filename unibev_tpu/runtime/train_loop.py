@@ -91,7 +91,14 @@ class Runner:
             self.logger.info(f"warm-started from {load_from}")
         state = create_train_state(variables, self.tx,
                                    jax.random.PRNGKey(self.seed + 7))
-        if resume_from or self.ckpt.latest_step() is not None:
+        if resume_from:
+            # Explicit path wins (reference --resume-from -> runner.resume):
+            # restoring from somewhere other than this work_dir must work.
+            from unibev_tpu.runtime.checkpoints import restore_state_from
+            state = restore_state_from(resume_from, state)
+            self.logger.info(f"resumed from {resume_from} "
+                             f"at step {int(state.step)}")
+        elif self.ckpt.latest_step() is not None:
             restored = self.ckpt.restore(state)
             if restored is not None:
                 state = restored
@@ -99,23 +106,38 @@ class Runner:
         return jax.device_put(state, self._repl)
 
     def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        multihost = jax.process_count() > 1
         out = {}
         for k, v in batch.items():
             if k == "img_metas":
                 continue
             v = np.asarray(v)
-            out[k] = jax.device_put(
-                v, NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1)))))
+            sharding = NamedSharding(self.mesh,
+                                     P("data", *([None] * (v.ndim - 1))))
+            if multihost:
+                # each process holds its LOCAL slice of the global batch
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         return out
 
     # ------------------------------------------------------------------- run
 
     def run(self, state: TrainState, batch_iter_fn: Callable[[], Iterable],
-            start_epoch: int = 0) -> TrainState:
+            start_epoch: Optional[int] = None) -> TrainState:
         train_step = jax.jit(make_train_step(self.model, self.tx),
                              out_shardings=(self._repl, self._repl),
                              donate_argnums=(0,))
         step = int(state.step)
+        if start_epoch is None:
+            # Resumed jobs continue from the epoch implied by the restored
+            # step counter (mmcv runner.resume restores runner.epoch); a
+            # fresh state has step 0 -> epoch 0.
+            start_epoch = step // self.steps_per_epoch
+            if start_epoch:
+                self.logger.info(
+                    f"continuing at epoch {start_epoch} (step {step}, "
+                    f"{self.steps_per_epoch} steps/epoch)")
         for epoch in range(start_epoch, self.max_epochs):
             for batch in batch_iter_fn():
                 sharded = self.shard_batch(batch)

@@ -168,7 +168,9 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
                     put("params", base + (f"conv{m2.group(1)}", "weight"),
                         _spconv(w))
                     continue
-                m2 = re.match(r"norm(\d)\.(\w+)", rest)
+                # mmdet SparseBasicBlock inherits BasicBlock whose norm attr
+                # is 'bn1'/'bn2'; accept the 'norm' spelling too
+                m2 = re.match(r"(?:norm|bn)(\d)\.(\w+)", rest)
                 if m2 and m2.group(2) in bn_pb:
                     col, name = bn_pb[m2.group(2)]
                     put(col, base + (f"conv{m2.group(1)}", "bn", name), w)
@@ -301,9 +303,11 @@ def _convert_transformer_key(k: str, w, put, out, num_heads: int) -> bool:
             _linear(w) if m.group(1) == "weight" else w)
         return True
 
-    m = re.match(r"(img_encoder|pts_encoder)\.layers\.(\d+)\.(.*)", k)
+    # real checkpoints name the encoders img_bev_encoder/pts_bev_encoder
+    # (transformer_fusion.py:84-87); our modules are img_encoder/pts_encoder
+    m = re.match(r"(img|pts)(?:_bev)?_encoder\.layers\.(\d+)\.(.*)", k)
     if m:
-        enc, layer, rest = m.group(1), int(m.group(2)), m.group(3)
+        enc, layer, rest = f"{m.group(1)}_encoder", int(m.group(2)), m.group(3)
         lbase = base + (enc, f"layer{layer}")
         return _convert_encoder_layer_key(rest, w, put, lbase)
     m = re.match(r"decoder\.layers\.(\d+)\.(.*)", k)
