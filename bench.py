@@ -24,9 +24,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--modality", default="LC", choices=["LC", "L", "C"],
                    help="sensor combination to bench (headline: LC)")
-    p.add_argument("--batch", type=int, default=2,
-                   help="inference batch size; throughput reported "
-                        "per-sample (samples/s/chip)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="inference batch size; throughput reported per-sample "
+                        "(B=1 measured fastest: batching doubles the sparse "
+                        "encoder's gather tables past the fast window)")
     args = p.parse_args()
 
     from unibev_tpu.flagship import build_flagship, synthetic_batch

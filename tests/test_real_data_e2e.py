@@ -1,0 +1,196 @@
+"""End-to-end CLI shakeout on an ON-DISK fake nuScenes tree (VERDICT r1 #8).
+
+Builds real files — raw JSON tables, lidar .bin point clouds, camera .jpg
+images — runs tools/create_data.py over them, then drives BOTH CLIs
+(train 2 steps, test + metric) through the real NuScenesDataset/pipeline
+path with no --synthetic-data.  Catches the path/schema bugs synthetic
+tensors can't (reference contract: docs/prepare_dataset.md:3-5).
+"""
+
+import json
+import os
+import os.path as osp
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+N_SAMPLES = 4
+CAMS = ("CAM_FRONT", "CAM_FRONT_RIGHT")
+IMG_W, IMG_H = 96, 64
+
+
+def build_tree(root):
+    version = "v1.0-mini"
+    os.makedirs(osp.join(root, version), exist_ok=True)
+    os.makedirs(osp.join(root, "lidar"), exist_ok=True)
+    os.makedirs(osp.join(root, "cam"), exist_ok=True)
+    qI = [1.0, 0.0, 0.0, 0.0]
+    rng = np.random.RandomState(0)
+
+    sensors = [dict(token="s_lidar", channel="LIDAR_TOP", modality="lidar")]
+    calib = [dict(token="c_lidar", sensor_token="s_lidar", rotation=qI,
+                  translation=[0, 0, 1.8], camera_intrinsic=[])]
+    for i, cam in enumerate(CAMS):
+        sensors.append(dict(token=f"s_{cam}", channel=cam, modality="camera"))
+        calib.append(dict(
+            token=f"c_{cam}", sensor_token=f"s_{cam}", rotation=qI,
+            translation=[1.5, 0.3 * i, 1.5],
+            camera_intrinsic=[[60, 0, IMG_W / 2], [0, 60, IMG_H / 2],
+                              [0, 0, 1]]))
+    scenes = [dict(token="sc0", name="scene-0001",
+                   first_sample_token="sm0", last_sample_token=f"sm{N_SAMPLES-1}"),
+              dict(token="sc1", name="scene-0103",  # mini-val scene name
+                   first_sample_token=f"sm{N_SAMPLES-1}",
+                   last_sample_token=f"sm{N_SAMPLES-1}")]
+    ego, samples, sample_data, annotations = [], [], [], []
+    categories = [dict(token="cat0", name="car")]
+    instances = [dict(token="in0", category_token="cat0")]
+    from PIL import Image
+    for s in range(N_SAMPLES):
+        ts = 1000 + s * 500000
+        scene = "sc1" if s == N_SAMPLES - 1 else "sc0"
+        ego.append(dict(token=f"e{s}", rotation=qI,
+                        translation=[100.0 + s, 50.0, 0.0], timestamp=ts))
+        samples.append(dict(token=f"sm{s}", scene_token=scene, timestamp=ts,
+                            prev=f"sm{s-1}" if s else "",
+                            next=f"sm{s+1}" if s < N_SAMPLES - 1 else ""))
+        # lidar points (N, 5) float32 around the ego
+        pts = np.zeros((512, 5), np.float32)
+        pts[:, 0:2] = rng.uniform(-9, 9, (512, 2))
+        pts[:, 2] = rng.uniform(-1.5, 0.5, 512)
+        pts[:, 3] = rng.rand(512)
+        pts.tofile(osp.join(root, "lidar", f"{s}.bin"))
+        sample_data.append(dict(
+            token=f"sd_l{s}", sample_token=f"sm{s}",
+            calibrated_sensor_token="c_lidar", ego_pose_token=f"e{s}",
+            is_key_frame=True, filename=f"lidar/{s}.bin", timestamp=ts,
+            prev="", next=""))
+        for cam in CAMS:
+            img = (rng.rand(IMG_H, IMG_W, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(osp.join(root, "cam", f"{s}_{cam}.jpg"))
+            sample_data.append(dict(
+                token=f"sd_{cam}{s}", sample_token=f"sm{s}",
+                calibrated_sensor_token=f"c_{cam}", ego_pose_token=f"e{s}",
+                is_key_frame=True, filename=f"cam/{s}_{cam}.jpg",
+                timestamp=ts, prev="", next=""))
+        annotations.append(dict(
+            token=f"an{s}", sample_token=f"sm{s}", instance_token="in0",
+            translation=[103.0 + s, 52.0, 1.0], size=[2.0, 4.5, 1.6],
+            rotation=qI, num_lidar_pts=25, num_radar_pts=2,
+            prev=f"an{s-1}" if s else "",
+            next=f"an{s+1}" if s < N_SAMPLES - 1 else ""))
+    for name, rows in [("sensor", sensors), ("calibrated_sensor", calib),
+                       ("ego_pose", ego), ("scene", scenes),
+                       ("sample", samples), ("sample_data", sample_data),
+                       ("category", categories), ("instance", instances),
+                       ("sample_annotation", annotations)]:
+        with open(osp.join(root, version, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+
+
+CONFIG_TMPL = """
+_base_ = ['{repo}/configs/smoke/tiny_lc.py']
+data_root = '{root}/'
+pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5, use_dim=5),
+    dict(type='LoadAnnotations3D', with_bbox_3d=True, with_label_3d=True),
+    dict(type='LoadMultiViewImageFromFiles', to_float32=True),
+    dict(type='PointsRangeFilter', point_cloud_range=[-9.6, -9.6, -2, 9.6, 9.6, 2]),
+    dict(type='PointShuffle'),
+    dict(type='NormalizeMultiviewImage',
+         mean=[103.530, 116.280, 123.675], std=[1.0, 1.0, 1.0], to_rgb=False),
+    dict(type='PadMultiViewImage', size_divisor=32),
+    dict(type='DefaultFormatBundle3D'),
+    dict(type='CustomCollect3D', keys=['points', 'img', 'gt_bboxes_3d',
+                                       'gt_labels_3d']),
+]
+test_pipeline = [
+    dict(type='LoadPointsFromFile', coord_type='LIDAR', load_dim=5, use_dim=5),
+    dict(type='LoadMultiViewImageFromFiles', to_float32=True),
+    dict(type='MultiScaleFlipAug3D', img_scale=(96, 64), flip=False,
+         transforms=[
+             dict(type='NormalizeMultiviewImage',
+                  mean=[103.530, 116.280, 123.675], std=[1.0, 1.0, 1.0],
+                  to_rgb=False),
+             dict(type='PadMultiViewImage', size_divisor=32),
+             dict(type='DefaultFormatBundle3D', with_label=False),
+             dict(type='CustomCollect3D', keys=['points', 'img']),
+         ]),
+]
+data = dict(
+    samples_per_gpu=1, workers_per_gpu=0,
+    train=dict(type='NuScenesDataset', data_root=data_root,
+               ann_file='nuscenes_infos_train.pkl', pipeline=pipeline,
+               test_mode=False, use_valid_flag=True,
+               max_points=1024, max_gt=8),
+    val=None,
+    test=dict(type='NuScenesDataset', data_root=data_root,
+              ann_file='nuscenes_infos_val.pkl', pipeline=test_pipeline,
+              test_mode=True, max_points=1024, max_gt=8))
+"""
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nusc"))
+    build_tree(root)
+    r = subprocess.run(
+        [sys.executable, osp.join(REPO, "tools/create_data.py"), "nuscenes",
+         "--root-path", root, "--version", "v1.0-mini"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cfg_path = osp.join(root, "cfg_files.py")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG_TMPL.format(repo=REPO, root=root))
+    return root, cfg_path
+
+
+def _run(args, timeout=1500):
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    return subprocess.run(args, capture_output=True, text=True, env=env,
+                          timeout=timeout)
+
+
+def test_infos_built_from_files(tree):
+    root, _ = tree
+    with open(osp.join(root, "nuscenes_infos_train.pkl"), "rb") as f:
+        train = pickle.load(f)["infos"]
+    with open(osp.join(root, "nuscenes_infos_val.pkl"), "rb") as f:
+        val = pickle.load(f)["infos"]
+    assert len(train) == N_SAMPLES - 1 and len(val) == 1
+    info = train[0]
+    assert set(CAMS) <= set(info["cams"])
+    # velocity: instance moves +1 m in x per 0.5 s in global frame -> 2 m/s
+    assert len(train[1]["gt_velocity"]) == 1
+    np.testing.assert_allclose(train[1]["gt_velocity"][0], [2.0, 0.0],
+                               atol=1e-3)
+    assert "gt_attrs" in info and info["num_radar_pts"][0] == 2
+
+
+def test_train_cli_on_files(tree):
+    root, cfg = tree
+    r = _run([sys.executable, osp.join(REPO, "tools/train_UniBEV.py"), cfg,
+              "--max-steps", "2", "--work-dir", osp.join(root, "wd")])
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    logs = os.listdir(osp.join(root, "wd"))
+    assert any(l.endswith(".log") for l in logs)
+
+
+def test_test_cli_on_files(tree):
+    root, cfg = tree
+    out = osp.join(root, "results.json")
+    r = _run([sys.executable, osp.join(REPO, "tools/test_UniBEV.py"), cfg,
+              "--out", out])
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 1          # one val sample
+    assert "boxes_3d" in results[0]
+    # the metric ran (random init -> tiny mAP, but present and finite)
+    assert '"mAP"' in r.stdout

@@ -186,7 +186,11 @@ def test_xpair_cols_match_plain_gather_subm():
     fpad = jnp.concatenate([fb, jnp.zeros((1, Cin), jnp.bfloat16)], 0)
     cols_ref = np.asarray(jnp.take(fpad, nidx.reshape(-1), axis=0).reshape(
         256, 27 * Cin), np.float32)
-    np.testing.assert_array_equal(cols_fast, cols_ref)
+    # xpair_cols is x-position major (dx, plane, cin); permute the tap-major
+    # reference to compare bitwise
+    cols_ref_x = cols_ref.reshape(256, 9, 3, Cin).transpose(
+        0, 2, 1, 3).reshape(256, 27 * Cin)
+    np.testing.assert_array_equal(cols_fast, cols_ref_x)
 
     w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
     out_fast = np.asarray(subm_xpair_conv(fb, nidx, plan, w, grid.mask),

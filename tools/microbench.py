@@ -464,6 +464,16 @@ def subm_pair(feats, anchorA, anchorB, case, xp1, weight):
 
 
 def bench_subm18():
+    from unibev_tpu.ops.sparse_conv import XPairPlan, xpair_cols, xpair_weight
+    import jax.numpy as jnp
+
+    def subm_pair_real(feats, aA, aB, case, xp1, w):
+        plan = XPairPlan(aA, aB, case, xp1)
+        cols = xpair_cols(feats, plan)
+        wx = xpair_weight(w, 9, feats.shape[1])
+        return jnp.dot(cols, wx.astype(feats.dtype),
+                       preferred_element_type=jnp.float32).astype(feats.dtype)
+
     rng = np.random.RandomState(0)
     for (V, Cin, Cout, n_convs) in ((120000, 16, 16, 5), (90000, 32, 32, 4),
                                     (60000, 64, 64, 4), (40000, 128, 128, 4)):
@@ -473,9 +483,57 @@ def bench_subm18():
         case = jnp.asarray(rng.randint(0, 3, (V, 9)), jnp.int32)
         xp1 = jnp.asarray(rng.randint(0, V, (V,)), jnp.int32)
         w = jnp.asarray(rng.randn(27 * Cin, Cout) * .05, jnp.bfloat16)
-        dt = bench(subm_pair, feats, aA, aB, case, xp1, w,
+        dt = bench(subm_pair_real, feats, aA, aB, case, xp1, w,
                    name=f"subm18 V={V} C={Cin}")
         print(f"   stage total ~{dt * n_convs * 1e3:.1f} ms ({n_convs} convs)")
+
+
+def bench_subm18split():
+    """stage3 pair scheme with channels split into two half-width tables
+    (each under the fast window) — tests whether the ~20MB cliff is about
+    per-table size or total working set."""
+    rng = np.random.RandomState(0)
+    V, Cin, Cout = 40000, 128, 128
+    feats = jnp.asarray(rng.randn(V, Cin), jnp.bfloat16)
+    aA = jnp.asarray(rng.randint(0, V, (V, 9)), jnp.int32)
+    aB = jnp.asarray(rng.randint(0, V, (V, 9)), jnp.int32)
+    case = jnp.asarray(rng.randint(0, 3, (V, 9)), jnp.int32)
+    xp1 = jnp.asarray(rng.randint(0, V, (V,)), jnp.int32)
+    w = jnp.asarray(rng.randn(27 * Cin, Cout) * .05, jnp.bfloat16)
+
+    def split(feats, aA, aB, case, xp1, w):
+        h = Cin // 2
+        w3 = w.reshape(27, Cin, Cout)
+        outs = 0
+        for lo, hi in ((0, h), (h, Cin)):
+            cols = subm_pair_cols(feats[:, lo:hi], aA, aB, case, xp1)
+            wk = w3[:, lo:hi, :].reshape(27 * h, Cout)
+            outs = outs + jnp.dot(cols, wk,
+                                  preferred_element_type=jnp.float32)
+        return outs.astype(feats.dtype)
+
+    bench(split, feats, aA, aB, case, xp1, w, name="subm18split V=40000 C=128")
+
+
+def subm_pair_cols(feats, anchorA, anchorB, case, xp1):
+    V, Cin = feats.shape
+    fpad = jnp.concatenate([feats, jnp.zeros((1, Cin), feats.dtype)], axis=0)
+    fp1 = fpad.at[xp1].get(mode="promise_in_bounds")
+    tab = _pack_pairs(feats, fp1)
+    tab = jnp.concatenate([tab, jnp.zeros((1, Cin), jnp.int32)], axis=0)
+    A = tab.at[anchorA.reshape(-1)].get(mode="promise_in_bounds").reshape(
+        V, 9, Cin)
+    B = tab.at[anchorB.reshape(-1)].get(mode="promise_in_bounds").reshape(
+        V, 9, Cin)
+    alo = _unpack_lo_f32(A).astype(jnp.bfloat16)
+    ahi = _unpack_hi_f32(A).astype(jnp.bfloat16)
+    blo = _unpack_lo_f32(B).astype(jnp.bfloat16)
+    c = case[..., None]
+    zero = jnp.zeros_like(alo)
+    tl = jnp.where(c == 0, alo, zero)
+    tm = jnp.where(c == 0, ahi, jnp.where(c == 1, alo, zero))
+    tr = jnp.where(c == 0, blo, jnp.where(c == 1, ahi, blo))
+    return jnp.stack([tl, tm, tr], axis=2).reshape(V, 27 * Cin)
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"

@@ -194,8 +194,13 @@ def _unpack_hi(v):
 def xpair_cols(feats: jnp.ndarray, plan: XPairPlan) -> jnp.ndarray:
     """im2col columns (Vout, K*Cin) via pair-packed x-triple gathers.
 
-    Bitwise-identical to ``jnp.take(feats_pad, neighbor_idx)`` column
-    ordering (plane-major, dx fastest, Cin inner).  bf16 feats only.
+    Column order is X-POSITION MAJOR — (dx, plane, cin) — NOT the weight's
+    tap-major (plane, dx, cin) order; pair it with ``xpair_weight``.  The
+    reorder lets every elementwise op run on wide 2D (V, P*Cin) arrays and
+    the final concat stay coalesced: the naive per-plane stack materialized
+    (V, 9, 1, Cin) tensors whose (1, Cin<128) minor tiles pad 14-64x on TPU
+    (measured: the whole x-pair win disappeared into layout copies).
+    bf16 feats only.
     """
     V, Cin = feats.shape
     Vout, P = plan.anchorA.shape
@@ -204,18 +209,29 @@ def xpair_cols(feats: jnp.ndarray, plan: XPairPlan) -> jnp.ndarray:
     tab = _pack_pairs_s32(feats, fp1)
     tab = jnp.concatenate([tab, jnp.zeros((1, Cin), jnp.int32)], axis=0)
     A = tab.at[plan.anchorA.reshape(-1)].get(
-        mode="promise_in_bounds").reshape(Vout, P, Cin)
+        mode="promise_in_bounds").reshape(Vout, P * Cin)
     B = tab.at[plan.anchorB.reshape(-1)].get(
-        mode="promise_in_bounds").reshape(Vout, P, Cin)
+        mode="promise_in_bounds").reshape(Vout, P * Cin)
     alo = _unpack_lo(A).astype(feats.dtype)
     ahi = _unpack_hi(A).astype(feats.dtype)
     blo = _unpack_lo(B).astype(feats.dtype)
-    c = plan.case[..., None]
+    m0 = jnp.broadcast_to((plan.case == 0)[:, :, None],
+                          (Vout, P, Cin)).reshape(Vout, P * Cin)
+    m1 = jnp.broadcast_to((plan.case == 1)[:, :, None],
+                          (Vout, P, Cin)).reshape(Vout, P * Cin)
     zero = jnp.zeros_like(alo)
-    tl = jnp.where(c == 0, alo, zero)
-    tm = jnp.where(c == 0, ahi, jnp.where(c == 1, alo, zero))
-    tr = jnp.where(c == 0, blo, jnp.where(c == 1, ahi, blo))
-    return jnp.stack([tl, tm, tr], axis=2).reshape(Vout, P * 3 * Cin)
+    tl = jnp.where(m0, alo, zero)
+    tm = jnp.where(m0, ahi, jnp.where(m1, alo, zero))
+    tr = jnp.where(m0, blo, jnp.where(m1, ahi, blo))
+    return jnp.concatenate([tl, tm, tr], axis=-1)   # (Vout, 3*P*Cin)
+
+
+def xpair_weight(weight: jnp.ndarray, P: int, Cin: int) -> jnp.ndarray:
+    """Permute a tap-major (plane, dx, cin) weight to xpair_cols' x-major
+    (dx, plane, cin) column order."""
+    Cout = weight.shape[1]
+    return weight.reshape(P, 3, Cin, Cout).transpose(1, 0, 2, 3).reshape(
+        3 * P * Cin, Cout)
 
 
 def gather_conv(feats: jnp.ndarray, neighbor_idx: jnp.ndarray,
@@ -293,7 +309,8 @@ def subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask):
     """subm_gather_conv with the x-pair forward (bf16) and the SAME
     gather-only mirrored-tap backward."""
     cols = xpair_cols(feats, plan)
-    out = jnp.dot(cols, weight.astype(feats.dtype),
+    w = xpair_weight(weight, plan.anchorA.shape[1], feats.shape[1])
+    out = jnp.dot(cols, w.astype(feats.dtype),
                   preferred_element_type=jnp.float32).astype(feats.dtype)
     return jnp.where(out_mask[:, None], out, 0.0)
 
@@ -316,7 +333,8 @@ def strided_xpair_conv(feats, neighbor_idx, plan, weight, out_mask):
     """gather_conv (strided) with the x-pair forward; backward is the vjp of
     the clean 27-row formulation (recomputed — scatter-add d_cols)."""
     cols = xpair_cols(feats, plan)
-    out = jnp.dot(cols, weight.astype(feats.dtype),
+    w = xpair_weight(weight, plan.anchorA.shape[1], feats.shape[1])
+    out = jnp.dot(cols, w.astype(feats.dtype),
                   preferred_element_type=jnp.float32).astype(feats.dtype)
     return jnp.where(out_mask[:, None], out, 0.0)
 
@@ -337,10 +355,20 @@ def _strided_xp_bwd(res, g):
 strided_xpair_conv.defvjp(_strided_xp_fwd, _strided_xp_bwd)
 
 
+# The v5e gather engine drops from ~3.3 to ~12+ ns/row once the source table
+# exceeds roughly this size (tools/microbench.py gather/subm benches); the
+# x-pair scheme only wins while its 2x-feats pack table stays under it.
+_FAST_GATHER_TABLE_BYTES = 20e6
+
+
 def best_gather_conv(feats, neighbor_idx, weight, out_mask, plan=None,
                      subm=False):
-    """Dispatch: x-pair fast path when a plan exists and feats are bf16."""
+    """Dispatch: x-pair fast path when a plan exists, feats are bf16, and
+    the pair table fits the fast gather window (stage 3's 20.5 MB table
+    measured SLOWER through x-pair than the plain 27-row gather)."""
+    pack_bytes = feats.shape[0] * feats.shape[1] * 4
     if plan is not None and feats.dtype == jnp.bfloat16 \
+            and pack_bytes <= _FAST_GATHER_TABLE_BYTES \
             and neighbor_idx.shape[1] % 3 == 0:
         if subm:
             return subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask)
