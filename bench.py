@@ -28,6 +28,9 @@ def main():
                    help="inference batch size; throughput reported per-sample "
                         "(B=1 measured fastest: batching doubles the sparse "
                         "encoder's gather tables past the fast window)")
+    p.add_argument("--train", action="store_true",
+                   help="bench the full train step (fwd+bwd+AdamW) instead "
+                        "of inference; reports s/step and an MFU estimate")
     args = p.parse_args()
 
     from unibev_tpu.flagship import build_flagship, synthetic_batch
@@ -42,6 +45,9 @@ def main():
         dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
              modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
         b, train=False))(batch)
+
+    if args.train:
+        return bench_train(model, variables, batch, args)
 
     predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
     out = jax.device_get(predict(variables, batch))  # compile + warm
@@ -70,6 +76,43 @@ def main():
         "ms_per_sample": round(dt * 1e3, 1),
         "batch": args.batch,
         "ms_per_dispatch": round(best * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_train(model, variables, batch, args):
+    from unibev_tpu.parallel.train_state import (create_train_state,
+                                                 make_optimizer,
+                                                 make_train_step)
+    tx, _ = make_optimizer(total_steps=1000)
+    state = create_train_state(variables, tx, jax.random.PRNGKey(7))
+    compiled = jax.jit(make_train_step(model, tx)).lower(
+        state, batch).compile()
+    state, metrics = compiled(state, batch)   # warm
+    jax.block_until_ready(metrics)
+
+    n_iters, best = 3, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = compiled(state, batch)
+        jax.block_until_ready(metrics)
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+
+    # MFU straight from XLA's own cost analysis of the whole step
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    flops = float(ca.get("flops", 0.0))
+    peak = 197e12   # v5e bf16 peak
+    mfu = flops / best / peak if flops else None
+    print(json.dumps({
+        "metric": "flagship LC train step seconds (fwd+bwd+AdamW, 1 chip)",
+        "value": round(best, 3),
+        "unit": "s/step",
+        "vs_baseline": round(3.72 / best, 3),   # round-1 step time
+        "batch": args.batch,
+        "step_tflop": round(flops / 1e12, 2) if flops else None,
+        "mfu": round(mfu, 4) if mfu else None,
         "device": str(jax.devices()[0]),
     }))
 

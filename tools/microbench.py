@@ -535,6 +535,40 @@ def subm_pair_cols(feats, anchorA, anchorB, case, xp1):
     tr = jnp.where(c == 0, blo, jnp.where(c == 1, ahi, blo))
     return jnp.stack([tl, tm, tr], axis=2).reshape(V, 27 * Cin)
 
+
+def bench_scaimg():
+    """SCA-img MSDA shape: BH=48, value 29x50, K=12800 queries, P=8."""
+    from unibev_tpu.ops.msda import _slab_level_fast, _slab_level
+    rng = np.random.RandomState(0)
+    BH, H, W, D, Q, P = 48, 29, 50, 32, 12800, 8
+    value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+    attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+    bench(lambda v, l, a: _slab_level_fast(v, H, W, l, a), value, loc, attn,
+          name="scaimg slab_fast (48 heads grouped)")
+    bench(lambda v, l, a: _slab_level(v, H, W, l, a), value, loc, attn,
+          name="scaimg slab clean (one batched gather)")
+
+    # variant: one-hot MXU — value map is only 1450 tokens; the sampling
+    # matrix (Q, 4P=32 nnz of 1450) applied as matmul could beat gathers
+    from unibev_tpu.ops.msda import _onehot_level
+    bench(lambda v, l, a: _onehot_level(v, H, W, l, a, 4096), value, loc, attn,
+          name="scaimg onehot MXU (chunk 4096)")
+    bench(lambda v, l, a: _onehot_level(v, H, W, l, a, 12800), value, loc,
+          attn, name="scaimg onehot MXU (chunk 12800)")
+
+
+def bench_tsa():
+    """TSA shape: BH=8, value 200x200, Q=40000, P=4."""
+    from unibev_tpu.ops.msda import _slab_level_fast
+    rng = np.random.RandomState(0)
+    BH, H, W, D, Q, P = 8, 200, 200, 32, 40000, 4
+    value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+    attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+    bench(lambda v, l, a: _slab_level_fast(v, H, W, l, a), value, loc, attn,
+          name="tsa slab_fast (G grouping)")
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"
     globals()[f"bench_{which}"]()

@@ -100,11 +100,22 @@ def analyze(xs, n_iters):
             fam[k] += d
             famn[k] += 1
         print("   top op families (opcode+shape) by total time:")
-        for k, d in fam.most_common(40):
+        for k, d in fam.most_common(250):
             print(f"     {d/1e12*1000/n_iters:8.2f} ms/iter  x{famn[k]//n_iters:<4d} {k[:110]}")
         print("   top gaps (before-op):")
         for g, at, nxt in gaps[:12]:
             print(f"     {g/1e12*1000:8.2f} ms before {nxt[:90]}")
+        # full rollup: every op bucketed by opcode (nothing hides in the
+        # tail below the top-40 cut)
+        cat = collections.Counter()
+        catn = collections.Counter()
+        for name, d in tot.items():
+            op = name.lstrip("%").split(".")[0].split(" ")[0]
+            cat[op] += d
+            catn[op] += 1
+        print("   rollup by opcode (ALL ops):")
+        for k, d in cat.most_common(25):
+            print(f"     {d/1e12*1000/n_iters:8.2f} ms/iter  x{catn[k]//n_iters:<5d} {k}")
 
 
 def main():
