@@ -115,3 +115,49 @@ def test_slab_fast_bf16_matches_clean():
     for g in (gv, gl, ga):
         assert np.isfinite(np.asarray(g, np.float32)).all()
     assert float(jnp.max(jnp.abs(gv.astype(jnp.float32)))) > 0
+
+
+def test_slab_custom_bwd_matches_autodiff():
+    """The sorted-scatter backward must equal autodiff of the clean slab
+    formulation for every input (value, loc, attn)."""
+    import jax
+    from unibev_tpu.ops.msda import _slab_level, _slab_level_op
+
+    rng = np.random.RandomState(5)
+    BH, H, W, D, Q, P = 3, 7, 9, 8, 11, 4
+    value = rng.randn(BH, H * W, D).astype(np.float32)
+    # include out-of-range and boundary locations
+    loc = (rng.rand(BH, Q, P, 2) * 1.4 - 0.2).astype(np.float32)
+    attn = rng.rand(BH, Q, P).astype(np.float32)
+    g = rng.randn(BH, Q, D).astype(np.float32)
+
+    def f_custom(v, l, a):
+        return (_slab_level_op(H, W, v, l, a) * g).sum()
+
+    def f_ref(v, l, a):
+        return (_slab_level(v, H, W, l, a) * g).sum()
+
+    gc = jax.grad(f_custom, argnums=(0, 1, 2))(value, loc, attn)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(value, loc, attn)
+    for name, a_, b_ in zip(("d_value", "d_loc", "d_attn"), gc, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_slab_custom_bwd_bf16_finite_and_close():
+    import jax
+    import jax.numpy as jnp
+    from unibev_tpu.ops.msda import _slab_level_op
+
+    rng = np.random.RandomState(6)
+    BH, H, W, D, Q, P = 2, 6, 6, 8, 9, 4
+    value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+    attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+
+    def f(v, l, a):
+        return (_slab_level_op(H, W, v, l, a).astype(jnp.float32) ** 2).sum()
+
+    gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
+    for t in (gv, gl, ga):
+        assert np.isfinite(np.asarray(t, np.float32)).all()

@@ -233,7 +233,49 @@ def test_xpair_cols_match_plain_gather_strided():
 
     fb = jnp.asarray(feats, jnp.bfloat16)
     w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
-    out_fast = np.asarray(strided_xpair_conv(fb, sidx, splan, w, mo),
+    out_fast = np.asarray(strided_xpair_conv(fb, sidx, splan, None, w, mo),
                           np.float32)
     out_ref = np.asarray(gather_conv(fb, sidx, w, mo), np.float32)
     np.testing.assert_allclose(out_fast, out_ref, atol=1e-2, rtol=1e-2)
+
+
+def test_strided_inverse_backward_matches_autodiff():
+    """d_feats via the inverse-output-table gather == autodiff scatter of
+    the clean formulation (and d_weight through the x-pair cols)."""
+    import jax
+    from unibev_tpu.ops.sparse_conv import (downsample_with_table,
+                                            inverse_strided_idx,
+                                            make_xpair_plan,
+                                            strided_xpair_conv)
+    rng = np.random.RandomState(5)
+    B, D, H, W, Cin, Cout = 1, 7, 14, 14, 8, 8
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 200, 256)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    out_shape = ((D + 2 - 3) // 2 + 1, (H - 1) // 2 + 1, (W - 1) // 2 + 1)
+    co, mo, out_table, _ = downsample_with_table(
+        grid.coords, grid.mask, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape,
+        128, B)
+    sidx = strided_neighbor_idx(grid, table, co, mo, (3, 3, 3), (2, 2, 2),
+                                (1, 1, 1))
+    splan = make_xpair_plan(sidx, nidx[:, 14], 256)
+    sinv = inverse_strided_idx(grid.coords, grid.mask, out_table,
+                               (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape)
+
+    fb = jnp.asarray(feats, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
+
+    def loss_fast(f, w_):
+        return (strided_xpair_conv(f, sidx, splan, sinv, w_, mo).astype(
+            jnp.float32) ** 2).sum()
+
+    def loss_ref(f, w_):
+        return (gather_conv(f, sidx, w_, mo).astype(jnp.float32) ** 2).sum()
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(fb, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(fb, w)
+    for name, a, b in zip(("d_feats", "d_weight"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=5e-2, rtol=5e-2, err_msg=name)

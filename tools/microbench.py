@@ -569,6 +569,42 @@ def bench_tsa():
     bench(lambda v, l, a: _slab_level_fast(v, H, W, l, a), value, loc, attn,
           name="tsa slab_fast (G grouping)")
 
+
+def bench_msdabwd():
+    """MSDA backward variants at the three hot shapes: custom sorted-scatter
+    vs custom unsorted vs onehot-autodiff (SCA-img only)."""
+    import unibev_tpu.ops.msda as M
+
+    def run(BH, H, W, Q, P, label):
+        rng = np.random.RandomState(0)
+        D = 32
+        value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+        loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+        attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+
+        def g_custom(v, l, a):
+            return (M._slab_level_op(H, W, v, l, a).astype(jnp.float32)
+                    ** 2).sum()
+
+        def g_onehot(v, l, a):
+            return (M._onehot_level(v, H, W, l, a, 4096).astype(jnp.float32)
+                    ** 2).sum()
+
+        for sort in (True, False):
+            M.SORT_SCATTER = sort
+            fn = lambda v, l, a: jax.grad(g_custom, argnums=(0, 1, 2))(
+                v, l, a)[0]
+            bench(fn, value, loc, attn,
+                  name=f"{label} custom bwd sort={sort}")
+        if H * W <= 2048:
+            fn = lambda v, l, a: jax.grad(g_onehot, argnums=(0, 1, 2))(
+                v, l, a)[0]
+            bench(fn, value, loc, attn, name=f"{label} onehot autodiff bwd")
+
+    run(48, 29, 50, 12800, 8, "scaimg")
+    run(8, 200, 200, 40000, 4, "tsa")
+    run(8, 200, 200, 40000, 8, "ptssca")
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"
     globals()[f"bench_{which}"]()

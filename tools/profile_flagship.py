@@ -139,12 +139,13 @@ def main():
         b, train=False))(batch)
 
     if args.train:
-        from unibev_tpu.parallel.train_state import make_train_state, train_step_fn
-        state = make_train_state(model, variables, lr=2e-4)
-        step = jax.jit(train_step_fn(model))
-        rngs = dict(gridmask=jax.random.PRNGKey(1), modality=jax.random.PRNGKey(2),
-                    dropout=jax.random.PRNGKey(3))
-        fn = lambda: step(state, batch, rngs)[1]
+        from unibev_tpu.parallel.train_state import (create_train_state,
+                                                     make_optimizer,
+                                                     make_train_step)
+        tx, _ = make_optimizer(total_steps=1000)
+        state = create_train_state(variables, tx, jax.random.PRNGKey(7))
+        step = jax.jit(make_train_step(model, tx))
+        fn = lambda: step(state, batch)[1]
     else:
         predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
         fn = lambda: predict(variables, batch)

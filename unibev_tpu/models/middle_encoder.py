@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from unibev_tpu.ops.sparse_conv import (SparseGrid, best_gather_conv,
                                         build_table, downsample_active_set,
                                         downsample_with_table,
-                                        make_xpair_plan,
+                                        inverse_strided_idx, make_xpair_plan,
                                         strided_neighbor_idx,
                                         subm_neighbor_idx, to_dense)
 from unibev_tpu.registry import MIDDLE_ENCODERS, VOXEL_ENCODERS
@@ -175,10 +175,14 @@ class SparseEncoder(nn.Module):
                 # resolution (sentinel = input row count)
                 splan = make_xpair_plan(sidx, plan.xp1,
                                         grid.coords.shape[0])
+                # inverse table: d_feats as a gather over OUTPUT rows
+                sinv = inverse_strided_idx(grid.coords, grid.mask, new_table,
+                                           (3, 3, 3), (2, 2, 2), pad,
+                                           out_shape)
                 cin = x.shape[-1]
                 w = self.param(f"down{i}_weight", nn.initializers.he_normal(),
                                (27 * cin, blocks[-1]))
-                x = best_gather_conv(x, sidx, w, mo, plan=splan)
+                x = best_gather_conv(x, sidx, w, mo, plan=splan, inv_idx=sinv)
                 x = MaskedBatchNorm(blocks[-1], dtype=self.dtype,
                                     name=f"down{i}_bn")(x, mo, train=train)
                 x = nn.relu(x)
@@ -189,16 +193,19 @@ class SparseEncoder(nn.Module):
 
         # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z only.
         out_shape = ((grid.shape[0] - 3) // 2 + 1, grid.shape[1], grid.shape[2])
-        co, mo, _, _ = downsample_with_table(
+        co, mo, out_table, _ = downsample_with_table(
             grid.coords, grid.mask, (3, 1, 1), (2, 1, 1), (0, 0, 0),
             out_shape, self.capacities[-1], batch_size)
         sidx = strided_neighbor_idx(grid, table, co, mo, (3, 1, 1), (2, 1, 1),
                                     (0, 0, 0))
-        # NO x-pair plan here: the (3,1,1) kernel's 3 taps run along Z, not X
+        # NO x-pair plan here (the (3,1,1) kernel's taps run along Z, not X)
+        # but the inverse-table backward still applies
+        sinv = inverse_strided_idx(grid.coords, grid.mask, out_table,
+                                   (3, 1, 1), (2, 1, 1), (0, 0, 0), out_shape)
         cin = x.shape[-1]
         w = self.param("conv_out_weight", nn.initializers.he_normal(),
                        (3 * cin, self.output_channels))
-        x = best_gather_conv(x, sidx, w, mo, plan=None)
+        x = best_gather_conv(x, sidx, w, mo, plan=None, inv_idx=sinv)
         x = MaskedBatchNorm(self.output_channels, dtype=self.dtype,
                             name="conv_out_bn")(x, mo, train=train)
         x = nn.relu(x)

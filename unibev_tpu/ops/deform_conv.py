@@ -198,12 +198,95 @@ def _mdcn_fast_fwd(x, offset, mask, weight, kernel_size, stride, padding,
 
 
 def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
+    """Hand-written backward: d_x via a SORTED corner scatter.
+
+    Autodiff of the clean formulation scatter-adds 313k random rows per
+    stage-3 conv (~10x the gather rate on TPU); argsorting the corner
+    contributions by target row first lets the scatter run with
+    indices_are_sorted=True.  d_offset/d_mask/d_weight come from the same
+    recomputed gather (one extra pass, as remat would do anyway).
+    """
     x, offset, mask, weight = res
-    _, vjp = jax.vjp(
-        lambda a, o, m, w: _mdcn_clean(a, o, m, w, kernel_size, stride,
-                                       padding, dilation),
-        x, offset, mask, weight)
-    return vjp(g)
+    B, H, W, Cin = x.shape
+    K = kernel_size[0] * kernel_size[1]
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    N = Ho * Wo
+    TR = (H + 1) * (W + 1)
+
+    sy, sx, valid = _sample_geometry(x.shape, offset, kernel_size, stride,
+                                     padding, dilation)
+    yp = sy + 1.0
+    xp = sx + 1.0
+    y0 = jnp.floor(yp)
+    x0 = jnp.floor(xp)
+    ly = yp - y0                                            # (B, Ho, Wo, K)
+    lx = xp - x0
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+    idx = (y0c * (W + 1) + x0c).reshape(B, N * K)
+
+    v = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    v4 = jnp.concatenate(
+        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
+        axis=-1).reshape(B, TR, 4 * Cin)
+    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)
+    M = B * N * K
+    rows = rows.reshape(M, 4 * Cin)   # wide minor; no (.., 4, Cin) 5D views
+
+    # per-sample scalars kept 1D (1D arrays tile lane-major: no padding)
+    a = valid.astype(jnp.float32).reshape(M)
+    lxf = lx.reshape(M).astype(jnp.float32)
+    lyf = ly.reshape(M).astype(jnp.float32)
+    u00 = (1 - lxf) * (1 - lyf) * a
+    u01 = lxf * (1 - lyf) * a
+    u10 = (1 - lxf) * lyf * a
+    u11 = lxf * lyf * a
+
+    gf = g.astype(jnp.float32).reshape(B * N, -1)           # (BN, Cout)
+    w_k = weight.reshape(K, Cin, -1).astype(jnp.float32)
+
+    # d_sampled (post-value adjoint per tap): (BN, K*Cin) wide
+    ds = jnp.einsum("no,kco->nkc", gf, w_k).reshape(B * N, K * Cin)
+    mf = mask.astype(jnp.float32).reshape(M)
+    dsm = (ds.reshape(M, Cin) * mf[:, None])                # (M, Cin)
+
+    # sampled (pre-mask) slice-FMA for d_mask / d_weight
+    sampled = (rows[:, 0 * Cin:1 * Cin] * u00[:, None]
+               + rows[:, 1 * Cin:2 * Cin] * u01[:, None]
+               + rows[:, 2 * Cin:3 * Cin] * u10[:, None]
+               + rows[:, 3 * Cin:4 * Cin] * u11[:, None])   # (M, Cin)
+    d_mask = (ds.reshape(M, Cin) * sampled).sum(-1).reshape(mask.shape)
+    cols = (sampled * mf[:, None]).reshape(B * N, K * Cin)
+    d_weight = jnp.einsum("nk,no->ko", cols, gf).astype(weight.dtype)
+
+    def cdot(c):
+        return (rows[:, c * Cin:(c + 1) * Cin] * dsm).sum(-1)  # (M,)
+
+    gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
+    d_sx = ((gv1 - gv0) * (1 - lyf) + (gv3 - gv2) * lyf) * a
+    d_sy = ((gv2 - gv0) * (1 - lxf) + (gv3 - gv1) * lxf) * a
+    d_offset = jnp.stack([d_sy.reshape(B, Ho, Wo, K),
+                          d_sx.reshape(B, Ho, Wo, K)],
+                         axis=-1).reshape(B, Ho, Wo, K * 2).astype(offset.dtype)
+
+    # d_x via sorted corner scatter; contributions as ONE wide concat
+    contrib = jnp.concatenate(
+        [dsm * u00[:, None], dsm * u01[:, None],
+         dsm * u10[:, None], dsm * u11[:, None]], axis=-1)  # (M, 4Cin)
+    keys = (idx + (jnp.arange(B, dtype=jnp.int32) * TR)[:, None]).reshape(-1)
+    order = jnp.argsort(keys)
+    d_v4 = jnp.zeros((B * TR, 4 * Cin), jnp.float32)
+    d_v4 = d_v4.at[keys[order]].add(contrib[order], indices_are_sorted=True)
+    d_v4 = d_v4.reshape(B, H + 1, W + 1, 4 * Cin)
+
+    def corner(c, py, px):
+        t = d_v4[..., c * Cin:(c + 1) * Cin]
+        return jnp.pad(t, ((0, 0), py, px, (0, 0)))
+
+    d_x = (corner(0, (0, 1), (0, 1)) + corner(1, (0, 1), (1, 0))
+           + corner(2, (1, 0), (0, 1)) + corner(3, (1, 0), (1, 0))
+           )[:, 1:H + 1, 1:W + 1, :].astype(x.dtype)
+    return d_x, d_offset, d_mask.astype(mask.dtype), d_weight
 
 
 _mdcn_fast.defvjp(_mdcn_fast_fwd, _mdcn_fast_bwd)

@@ -40,6 +40,10 @@ import jax.numpy as jnp
 # always picks the gather path.
 ONEHOT_MAX_VALUE = 0
 
+# Whether the custom MSDA backward argsorts scatter keys first (A/B-able;
+# see tools/microbench.py msdabwd)
+SORT_SCATTER = True
+
 
 def _prep_bh(value, sampling_locations, attention_weights):
     """Fold heads into batch: (B,V,H,D),(B,Q,H,L,P,2),(B,Q,H,L,P) -> per-BH."""
@@ -228,6 +232,114 @@ def _onehot_level(value: jnp.ndarray, H: int, W: int,
     return out[:, :Q]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _slab_level_op(H: int, W: int, value, loc, attn):
+    """One level with a hand-written backward: the autodiff d_value is a
+    RANDOM scatter-add (~10x slower than gathers at the same row count on
+    TPU); here the corner contributions are argsorted by target row first so
+    the scatter runs with indices_are_sorted=True (sequential memory), then
+    the corner-packed adjoint unpacks to the value grid with shifted adds."""
+    if value.dtype == jnp.bfloat16:
+        return _slab_level_fast(value, H, W, loc, attn)
+    return _slab_level(value, H, W, loc, attn)
+
+
+def _slab_level_op_fwd(H, W, value, loc, attn):
+    return _slab_level_op(H, W, value, loc, attn), (value, loc, attn)
+
+
+def _slab_level_op_bwd(H, W, res, g):
+    """Wide-layout discipline throughout: all big intermediates are either
+    (BH, QP) 2D or (BH, QP, 4D=128-lane) — per-corner stacks/5D reshapes
+    with <128-lane minors pad 4-32x under TPU tiling and OOMed the flagship
+    train step when this backward was first written naively."""
+    value, loc, attn = res
+    BH, _, D = value.shape
+    Q, P = loc.shape[1], loc.shape[2]
+    QP = Q * P
+    TR = (H + 1) * (W + 1)
+
+    # ---- geometry, all (BH, QP)
+    x = (loc[..., 0] * W - 0.5).reshape(BH, QP)
+    y = (loc[..., 1] * H - 0.5).reshape(BH, QP)
+    valid = ((x > -1.0) & (x < W) & (y > -1.0) & (y < H)).astype(jnp.float32)
+    xp = x + 1.0
+    yp = y + 1.0
+    x0 = jnp.floor(xp)
+    y0 = jnp.floor(yp)
+    lx = (xp - x0).astype(jnp.float32)
+    ly = (yp - y0).astype(jnp.float32)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+    idx = y0c * (W + 1) + x0c                                    # (BH, QP)
+
+    v = value.reshape(BH, H, W, D)
+    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    v4 = jnp.concatenate(
+        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
+        axis=-1).reshape(BH, TR, 4 * D)
+    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)      # (BH,QP,4D)
+
+    a = attn.astype(jnp.float32).reshape(BH, QP) * valid
+    u00 = (1 - lx) * (1 - ly)
+    u01 = lx * (1 - ly)
+    u10 = (1 - lx) * ly
+    u11 = lx * ly
+
+    # g repeated per point: (BH, Q, D) -tile-> (BH, Q, P*D) == (BH, QP, D)
+    # row-major, so the reshape is layout-free and the minor stays wide.
+    g_rep = jnp.tile(g.astype(value.dtype), (1, 1, P)).reshape(BH, QP, D)
+
+    def cdot(c):
+        """<rows corner c, g> over D -> (BH, QP) f32."""
+        return (rows[..., c * D:(c + 1) * D].astype(jnp.float32)
+                * g_rep.astype(jnp.float32)).sum(-1)
+
+    gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
+    gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
+    d_attn = (gs * valid).reshape(BH, Q, P).astype(attn.dtype)
+
+    dx = ((gv1 - gv0) * (1 - ly) + (gv3 - gv2) * ly) * a
+    dy = ((gv2 - gv0) * (1 - lx) + (gv3 - gv1) * lx) * a
+    d_loc = jnp.stack([(dx * W).reshape(BH, Q, P),
+                       (dy * H).reshape(BH, Q, P)],
+                      axis=-1).astype(loc.dtype)
+
+    # d_value: contribution rows (N, 4D) built as ONE concat of fused
+    # broadcast-multiplies (never materializing narrow pieces), then a
+    # SORTED scatter-add.
+    gb = g_rep.reshape(BH * QP, D)
+    contrib = jnp.concatenate(
+        [gb * (u00 * a).reshape(-1, 1).astype(gb.dtype),
+         gb * (u01 * a).reshape(-1, 1).astype(gb.dtype),
+         gb * (u10 * a).reshape(-1, 1).astype(gb.dtype),
+         gb * (u11 * a).reshape(-1, 1).astype(gb.dtype)], axis=-1)
+    keys = (idx + (jnp.arange(BH, dtype=jnp.int32) * TR)[:, None]).reshape(-1)
+    d_v4 = jnp.zeros((BH * TR, 4 * D), jnp.float32)
+    if SORT_SCATTER:
+        order = jnp.argsort(keys)
+        d_v4 = d_v4.at[keys[order]].add(
+            contrib[order].astype(jnp.float32), indices_are_sorted=True)
+    else:
+        # sampling locations follow the BEV raster, so keys are already
+        # nearly sorted — the explicit sort pass wasn't paying for itself
+        d_v4 = d_v4.at[keys].add(contrib.astype(jnp.float32))
+    d_v4 = d_v4.reshape(BH, H + 1, W + 1, 4 * D)
+
+    # unpack the corner-packed adjoint with shifted adds, then crop the ring
+    def corner(c, py, px):
+        t = d_v4[..., c * D:(c + 1) * D]
+        return jnp.pad(t, ((0, 0), py, px, (0, 0)))
+    d_vpad = (corner(0, (0, 1), (0, 1)) + corner(1, (0, 1), (1, 0))
+              + corner(2, (1, 0), (0, 1)) + corner(3, (1, 0), (1, 0)))
+    d_value = d_vpad[:, 1:H + 1, 1:W + 1, :].reshape(
+        BH, H * W, D).astype(value.dtype)
+    return d_value, d_loc, d_attn
+
+
+_slab_level_op.defvjp(_slab_level_op_fwd, _slab_level_op_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "query_chunk",
                                              "method"))
 def ms_deform_attn(value: jnp.ndarray,
@@ -267,11 +379,9 @@ def ms_deform_attn(value: jnp.ndarray,
             out = out + _onehot_level(v_l, H, W, loc_bh[:, :, l],
                                       attn_bh[:, :, l],
                                       query_chunk or 4096)
-        elif value.dtype == jnp.bfloat16:
-            out = out + _slab_level_fast(v_l, H, W, loc_bh[:, :, l],
-                                         attn_bh[:, :, l])
         else:
-            out = out + _slab_level(v_l, H, W, loc_bh[:, :, l],
-                                    attn_bh[:, :, l])
+            # custom-VJP op: dtype-dispatched forward, sorted-scatter backward
+            out = out + _slab_level_op(H, W, v_l, loc_bh[:, :, l],
+                                       attn_bh[:, :, l])
 
     return out.reshape(B, nh, Q, D).transpose(0, 2, 1, 3).reshape(B, Q, nh * D)

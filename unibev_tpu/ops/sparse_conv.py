@@ -60,8 +60,10 @@ def _wide_table_lookup(table: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
     """table[flat] via 128-lane-row gather + one-hot lane select.
 
     The gather engine charges per ROW regardless of width, so gathering
-    4-byte scalars wastes ~30x; fetching the 128-lane row containing each
-    entry and selecting the lane on the VPU runs at the row rate.
+    4-byte scalars wastes ~2x; fetching the 128-lane row containing each
+    entry and selecting the lane on the VPU runs at the row rate.  (8-lane
+    rows measured faster on a 40k-row toy table but 25 ms SLOWER in-model
+    on the 10.9M-entry resolution tables — wider rows win at size.)
     """
     n = table.shape[0]
     nrows = -(-n // 128)
@@ -270,25 +272,29 @@ def _subm_gc_fwd(feats, neighbor_idx, weight, out_mask):
         (feats, neighbor_idx, weight, out_mask)
 
 
+def _mirror_transpose_weight(weight: jnp.ndarray, K: int,
+                             Cin: int) -> jnp.ndarray:
+    """(K*Cin, Cout) tap-major -> (K*Cout, Cin): taps reversed, per-tap
+    transpose — the weight of the conv that computes d_feats."""
+    Cout = weight.shape[1]
+    return weight.reshape(K, Cin, Cout)[::-1].transpose(0, 2, 1).reshape(
+        K * Cout, Cin)
+
+
 def _subm_gc_bwd(res, g):
+    """d_feats of a submanifold conv IS a submanifold conv: for an odd
+    symmetric kernel on an unchanged active set, "j is tap k's neighbor of
+    i" iff "i is tap (K-1-k)'s neighbor of j", so
+    d_feats = subm_conv(d_out, W[::-1]^T) — which reuses the SAME optimized
+    forward (the old per-tap mirror-gather materialized (V*27, Cin<128)
+    narrow intermediates that padded 8x and dominated the train step)."""
     feats, neighbor_idx, weight, out_mask = res
     V, Cin = feats.shape
     Vout, K = neighbor_idx.shape
-    Cout = weight.shape[1]
-    g = jnp.where(out_mask[:, None], g, 0.0)
+    g = jnp.where(out_mask[:, None], g, 0.0).astype(feats.dtype)
 
-    # d_cols[i, k, :] = g[i] @ W_k^T
-    w_k = weight.reshape(K, Cin, Cout).astype(g.dtype)
-    d_cols = jnp.einsum("vo,kco->vkc", g, w_k,
-                        preferred_element_type=jnp.float32).astype(feats.dtype)
-    d_cols_pad = jnp.concatenate(
-        [d_cols, jnp.zeros((1, K, Cin), d_cols.dtype)], axis=0)
-    # mirrored-tap gather: contribution to row j from output row
-    # i = neighbor_idx[j, K-1-k] at tap k.
-    idx_mirror = neighbor_idx[:, ::-1]
-    gathered = jnp.take_along_axis(
-        d_cols_pad, idx_mirror[:, :, None].astype(jnp.int32), axis=0)
-    d_feats = gathered.sum(axis=1)
+    w_t = _mirror_transpose_weight(weight, K, Cin).astype(feats.dtype)
+    d_feats = gather_conv(g, neighbor_idx, w_t, out_mask)
 
     feats_pad = jnp.concatenate([feats, jnp.zeros((1, Cin), feats.dtype)],
                                 axis=0)
@@ -317,39 +323,131 @@ def subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask):
 
 def _subm_xp_fwd(feats, neighbor_idx, plan, weight, out_mask):
     return subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask), \
-        (feats, neighbor_idx, weight, out_mask)
+        (feats, neighbor_idx, plan, weight, out_mask)
 
 
 def _subm_xp_bwd(res, g):
-    d_feats, _, d_weight, _ = _subm_gc_bwd(res, g)
+    """Both backward products run through the x-pair fast path: d_feats is
+    the mirrored-transposed subm conv over d_out (same neighbor table ->
+    same plan), and d_weight's im2col is the same xpair_cols gather (with
+    the x-major permutation inverted on the result)."""
+    feats, neighbor_idx, plan, weight, out_mask = res
+    V, Cin = feats.shape
+    K = neighbor_idx.shape[1]
+    P = K // 3
+    Cout = weight.shape[1]
+    g = jnp.where(out_mask[:, None], g, 0.0).astype(feats.dtype)
+
+    w_t = _mirror_transpose_weight(weight, K, Cin).astype(feats.dtype)
+    d_feats = jnp.dot(xpair_cols(g, plan),
+                      xpair_weight(w_t, P, Cout).astype(g.dtype),
+                      preferred_element_type=jnp.float32).astype(feats.dtype)
+    d_feats = jnp.where(out_mask[:, None], d_feats, 0.0)
+
+    cols_x = xpair_cols(feats, plan)                       # (V, K*Cin) x-major
+    dw_x = jnp.dot(cols_x.T.astype(jnp.float32), g.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    d_weight = dw_x.reshape(3, P, Cin, Cout).transpose(1, 0, 2, 3).reshape(
+        K * Cin, Cout).astype(weight.dtype)
     return d_feats, None, None, d_weight, None
 
 
 subm_xpair_conv.defvjp(_subm_xp_fwd, _subm_xp_bwd)
 
 
+def inverse_strided_idx(coords_in, mask_in, out_table,
+                        kernel, stride, padding, out_shape):
+    """(Vin, K) OUTPUT-row indices feeding each input voxel's gradient.
+
+    For a strided conv, input i contributes to output o at tap d iff
+    i = o*s - p + d, i.e. o = (i + p - d) / s — UNIQUE per tap when the
+    division is exact.  That makes d_feats another GATHER-conv (over the
+    output rows, with per-tap-transposed weights) instead of the ~10x
+    slower scatter.  Sentinel = the output row capacity (out_table's own
+    sentinel value, pointing at the zero padding row).
+    """
+    Do, Ho, Wo = out_shape
+    kz, ky, kx = kernel
+    sz, sy, sx = stride
+    pz, py, px = padding
+    b = coords_in[:, 0]
+    z = coords_in[:, 1]
+    y = coords_in[:, 2]
+    x = coords_in[:, 3]
+    flat_list, ok_list = [], []
+    for dz in range(kz):
+        for dy in range(ky):
+            for dx in range(kx):
+                qz, rz = jnp.divmod(z + pz - dz, sz)
+                qy, ry = jnp.divmod(y + py - dy, sy)
+                qx, rx = jnp.divmod(x + px - dx, sx)
+                ok = (mask_in & (rz == 0) & (ry == 0) & (rx == 0)
+                      & (qz >= 0) & (qz < Do) & (qy >= 0) & (qy < Ho)
+                      & (qx >= 0) & (qx < Wo))
+                flat = ((b * Do + qz) * Ho + qy) * Wo + qx
+                flat_list.append(jnp.where(ok, flat, 0))
+                ok_list.append(ok)
+    flats = jnp.stack(flat_list, axis=1)
+    oks = jnp.stack(ok_list, axis=1)
+    nidx = _wide_table_lookup(out_table, flats.reshape(-1)).reshape(
+        flats.shape)
+    sentinel = jnp.max(out_table)   # the capacity value by construction
+    return jnp.where(oks, nidx, sentinel).astype(jnp.int32)
+
+
 @jax.custom_vjp
-def strided_xpair_conv(feats, neighbor_idx, plan, weight, out_mask):
-    """gather_conv (strided) with the x-pair forward; backward is the vjp of
-    the clean 27-row formulation (recomputed — scatter-add d_cols)."""
-    cols = xpair_cols(feats, plan)
-    w = xpair_weight(weight, plan.anchorA.shape[1], feats.shape[1])
-    out = jnp.dot(cols, w.astype(feats.dtype),
-                  preferred_element_type=jnp.float32).astype(feats.dtype)
-    return jnp.where(out_mask[:, None], out, 0.0)
+def strided_xpair_conv(feats, neighbor_idx, plan, inv_idx, weight, out_mask):
+    """Strided conv: x-pair forward when a plan is given; backward via the
+    inverse-table gather-conv when inv_idx is given (NO scatter), else the
+    vjp of the clean formulation."""
+    if plan is not None:
+        cols = xpair_cols(feats, plan)
+        w = xpair_weight(weight, plan.anchorA.shape[1], feats.shape[1])
+        out = jnp.dot(cols, w.astype(feats.dtype),
+                      preferred_element_type=jnp.float32).astype(feats.dtype)
+        return jnp.where(out_mask[:, None], out, 0.0)
+    return gather_conv(feats, neighbor_idx, weight, out_mask)
 
 
-def _strided_xp_fwd(feats, neighbor_idx, plan, weight, out_mask):
-    return strided_xpair_conv(feats, neighbor_idx, plan, weight, out_mask), \
-        (feats, neighbor_idx, weight, out_mask)
+def _strided_xp_fwd(feats, neighbor_idx, plan, inv_idx, weight, out_mask):
+    return strided_xpair_conv(feats, neighbor_idx, plan, inv_idx, weight,
+                              out_mask), \
+        (feats, neighbor_idx, plan, inv_idx, weight, out_mask)
 
 
 def _strided_xp_bwd(res, g):
-    feats, neighbor_idx, weight, out_mask = res
-    _, vjp = jax.vjp(
-        lambda f, w: gather_conv(f, neighbor_idx, w, out_mask), feats, weight)
-    d_feats, d_weight = vjp(g)
-    return d_feats, None, None, d_weight, None
+    feats, neighbor_idx, plan, inv_idx, weight, out_mask = res
+    V, Cin = feats.shape
+    K = neighbor_idx.shape[1]
+    Cout = weight.shape[1]
+    g = jnp.where(out_mask[:, None], g, 0.0).astype(feats.dtype)
+
+    if inv_idx is not None:
+        w_inv = weight.reshape(K, Cin, Cout).transpose(0, 2, 1).reshape(
+            K * Cout, Cin).astype(feats.dtype)
+        d_feats = gather_conv(g, inv_idx, w_inv, jnp.ones((V,), bool))
+    else:
+        _, vjp = jax.vjp(
+            lambda f: gather_conv(f, neighbor_idx, weight, out_mask), feats)
+        d_feats, = vjp(g)
+
+    if plan is not None:
+        P = K // 3
+        cols_x = xpair_cols(feats, plan)
+        dw_x = jnp.dot(cols_x.T.astype(jnp.float32), g.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        d_weight = dw_x.reshape(3, P, Cin, Cout).transpose(
+            1, 0, 2, 3).reshape(K * Cin, Cout).astype(weight.dtype)
+    else:
+        feats_pad = jnp.concatenate(
+            [feats, jnp.zeros((1, Cin), feats.dtype)], axis=0)
+        cols = jnp.take(feats_pad, neighbor_idx.reshape(-1), axis=0).reshape(
+            -1, K * Cin)
+        d_weight = jnp.dot(cols.T.astype(jnp.float32),
+                           g.astype(jnp.float32),
+                           preferred_element_type=jnp.float32).astype(
+            weight.dtype)
+    return d_feats, None, None, None, d_weight, None
 
 
 strided_xpair_conv.defvjp(_strided_xp_fwd, _strided_xp_bwd)
@@ -362,19 +460,24 @@ _FAST_GATHER_TABLE_BYTES = 20e6
 
 
 def best_gather_conv(feats, neighbor_idx, weight, out_mask, plan=None,
-                     subm=False):
+                     subm=False, inv_idx=None):
     """Dispatch: x-pair fast path when a plan exists, feats are bf16, and
     the pair table fits the fast gather window (stage 3's 20.5 MB table
-    measured SLOWER through x-pair than the plain 27-row gather)."""
+    measured SLOWER through x-pair than the plain 27-row gather).  For
+    strided convs, inv_idx routes the backward through the inverse-table
+    gather instead of a scatter."""
     pack_bytes = feats.shape[0] * feats.shape[1] * 4
-    if plan is not None and feats.dtype == jnp.bfloat16 \
-            and pack_bytes <= _FAST_GATHER_TABLE_BYTES \
-            and neighbor_idx.shape[1] % 3 == 0:
-        if subm:
-            return subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask)
-        return strided_xpair_conv(feats, neighbor_idx, plan, weight, out_mask)
+    use_pair = (plan is not None and feats.dtype == jnp.bfloat16
+                and pack_bytes <= _FAST_GATHER_TABLE_BYTES
+                and neighbor_idx.shape[1] % 3 == 0)
     if subm:
+        if use_pair:
+            return subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask)
         return subm_gather_conv(feats, neighbor_idx, weight, out_mask)
+    if use_pair or inv_idx is not None:
+        return strided_xpair_conv(feats, neighbor_idx,
+                                  plan if use_pair else None, inv_idx,
+                                  weight, out_mask)
     return gather_conv(feats, neighbor_idx, weight, out_mask)
 
 
