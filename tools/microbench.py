@@ -601,9 +601,13 @@ def bench_msdabwd():
                 v, l, a)[0]
             bench(fn, value, loc, attn, name=f"{label} onehot autodiff bwd")
 
-    run(48, 29, 50, 12800, 8, "scaimg")
-    run(8, 200, 200, 40000, 4, "tsa")
-    run(8, 200, 200, 40000, 8, "ptssca")
+    which = sys.argv[2] if len(sys.argv) > 2 else "all"
+    if which in ("all", "scaimg"):
+        run(48, 29, 50, 12800, 8, "scaimg")
+    if which in ("all", "tsa"):
+        run(8, 200, 200, 40000, 4, "tsa")
+    if which in ("all", "ptssca"):
+        run(8, 200, 200, 40000, 8, "ptssca")
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"

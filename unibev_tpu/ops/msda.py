@@ -34,15 +34,19 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-# Value maps at or below this many tokens MAY use the one-hot MXU path
-# (method="onehot"); measured slower than the packed-corner gather on
-# v5e once per-camera rebatching bounds the query count, so "auto"
-# always picks the gather path.
-ONEHOT_MAX_VALUE = 0
+# Value maps at or below this many tokens use the one-hot MXU path under
+# method="auto".  Covers the camera SCA's ~1.5k-token per-camera maps:
+# forward measured 18.4 vs 20.6 ms (slab) and — decisively — the AUTODIFF
+# backward is dense-matmul-shaped: 62 vs 119-159 ms per layer against the
+# custom scatter backward (tools/microbench.py msdabwd).  TSA/ptsSCA
+# (40k-token maps) stay on the slab path.
+ONEHOT_MAX_VALUE = 2048
 
-# Whether the custom MSDA backward argsorts scatter keys first (A/B-able;
-# see tools/microbench.py msdabwd)
-SORT_SCATTER = True
+# Whether the custom MSDA backward argsorts scatter keys first.  Measured
+# SLOWER than the plain scatter at every shape (sampling follows the BEV
+# raster, so keys are nearly sorted already and XLA's scatter did not
+# exploit the hint): tsa 46.7 vs 36.3 ms, scaimg 158.5 vs 118.6 ms.
+SORT_SCATTER = False
 
 
 def _prep_bh(value, sampling_locations, attention_weights):
@@ -222,12 +226,17 @@ def _onehot_level(value: jnp.ndarray, H: int, W: int,
         return jnp.einsum("bqv,bvd->bqd", dense, value,
                           preferred_element_type=jnp.float32).astype(value.dtype)
 
+    # checkpoint the chunk body: without it the scan saves every chunk's
+    # dense (Qc, V) sampling matrix as a residual (measured 20 x 1.7 GB at
+    # the SCA-img train shape — instant OOM); recomputing it per chunk in
+    # the backward is a few compare-FMA passes.
+    run_chunk_ckpt = jax.checkpoint(run_chunk)
     if n_chunks == 1:
-        out = run_chunk((idx, w))
+        out = run_chunk_ckpt((idx, w))
     else:
         idx_c = idx.reshape(BH, n_chunks, Qc, K).transpose(1, 0, 2, 3)
         w_c = w.reshape(BH, n_chunks, Qc, K).transpose(1, 0, 2, 3)
-        out = jax.lax.map(run_chunk, (idx_c, w_c))
+        out = jax.lax.map(run_chunk_ckpt, (idx_c, w_c))
         out = out.transpose(1, 0, 2, 3).reshape(BH, n_chunks * Qc, D)
     return out[:, :Q]
 
@@ -378,7 +387,7 @@ def ms_deform_attn(value: jnp.ndarray,
         if use_onehot:
             out = out + _onehot_level(v_l, H, W, loc_bh[:, :, l],
                                       attn_bh[:, :, l],
-                                      query_chunk or 4096)
+                                      min(query_chunk or 4096, 4096))
         else:
             # custom-VJP op: dtype-dispatched forward, sorted-scatter backward
             out = out + _slab_level_op(H, W, v_l, loc_bh[:, :, l],
