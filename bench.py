@@ -86,17 +86,18 @@ def bench_train(model, variables, batch, args):
                                                  make_train_step)
     tx, _ = make_optimizer(total_steps=1000)
     state = create_train_state(variables, tx, jax.random.PRNGKey(7))
-    compiled = jax.jit(make_train_step(model, tx)).lower(
+    compiled = jax.jit(make_train_step(model, tx), donate_argnums=(0,)).lower(
         state, batch).compile()
     state, metrics = compiled(state, batch)   # warm
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])   # device_get forces the step through the relay
+    # (block_until_ready alone measured 0.024 s/step — a relay artifact)
 
     n_iters, best = 3, float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, metrics = compiled(state, batch)
-        jax.block_until_ready(metrics)
+        float(metrics["loss"])
         best = min(best, (time.perf_counter() - t0) / n_iters)
 
     # MFU straight from XLA's own cost analysis of the whole step

@@ -227,17 +227,47 @@ class UniBEVHead(nn.Module):
 
     def loss(self, preds: Dict[str, jnp.ndarray], gt_bboxes, gt_labels,
              gt_valid) -> Dict[str, jnp.ndarray]:
-        """gt_bboxes: (B, G, 9); gt_labels: (B, G); gt_valid: (B, G) bool."""
+        """gt_bboxes: (B, G, 9); gt_labels: (B, G); gt_valid: (B, G) bool.
+
+        The Hungarian assignments for ALL decoder layers run in ONE vmap
+        (L*B lanes): per-layer sequential calls left 6 separate JV
+        while-loops on the timeline (~200 ms/step measured); in lockstep
+        they cost barely more than one.
+        """
         all_cls = preds["all_cls_scores"]
         all_bbox = preds["all_bbox_preds"]
-        L = all_cls.shape[0]
+        L, B = all_cls.shape[0], all_cls.shape[1]
+        flat_cls = all_cls.reshape((L * B,) + all_cls.shape[2:])
+        flat_bbox = all_bbox.reshape((L * B,) + all_bbox.shape[2:])
+
+        def rep(x):
+            return jnp.broadcast_to(x[None], (L,) + x.shape).reshape(
+                (L * B,) + x.shape[1:])
+
+        labels, targets, bw, num_pos = jax.vmap(self._targets_single)(
+            jax.lax.stop_gradient(flat_cls),
+            jax.lax.stop_gradient(flat_bbox),
+            rep(gt_bboxes), rep(gt_labels), rep(gt_valid))
+        total_pos = jnp.maximum(
+            num_pos.reshape(L, B).sum(1).astype(jnp.float32), 1.0)  # (L,)
+
+        cls_loss = sigmoid_focal_loss(
+            flat_cls, labels, self.num_classes,
+            alpha=self.focal_alpha, gamma=self.focal_gamma).sum(-1)
+        cls_loss = cls_loss.reshape(L, -1).sum(1)                   # (L,)
+        cls_losses = self.cls_weight * cls_loss / total_pos
+
+        cw = jnp.asarray(self.code_weights, jnp.float32)
+        diff = l1_loss(flat_bbox, targets) * bw * cw[None, None, :]
+        isnotnan = jnp.isfinite(targets).all(-1, keepdims=True)
+        diff = jnp.where(isnotnan, diff, 0.0)
+        bbox_losses = self.bbox_weight * diff.reshape(L, -1).sum(1) / total_pos
+
         losses = {}
         for l in range(L):
-            cls_l, bbox_l = self.loss_single(all_cls[l], all_bbox[l],
-                                             gt_bboxes, gt_labels, gt_valid)
             prefix = "" if l == L - 1 else f"d{l}."
-            losses[f"{prefix}loss_cls"] = cls_l
-            losses[f"{prefix}loss_bbox"] = bbox_l
+            losses[f"{prefix}loss_cls"] = cls_losses[l]
+            losses[f"{prefix}loss_bbox"] = bbox_losses[l]
         return losses
 
     def get_bboxes(self, preds: Dict[str, jnp.ndarray]):

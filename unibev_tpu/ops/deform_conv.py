@@ -225,13 +225,13 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
     idx = (y0c * (W + 1) + x0c).reshape(B, N * K)
 
-    v = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     v4 = jnp.concatenate(
         [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
         axis=-1).reshape(B, TR, 4 * Cin)
     rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)
     M = B * N * K
-    rows = rows.reshape(M, 4 * Cin)   # wide minor; no (.., 4, Cin) 5D views
+    rows = rows.reshape(M, 4 * Cin).astype(x.dtype)   # wide minor, bf16
 
     # per-sample scalars kept 1D (1D arrays tile lane-major: no padding)
     a = valid.astype(jnp.float32).reshape(M)
@@ -242,25 +242,32 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     u10 = (1 - lxf) * lyf * a
     u11 = lxf * lyf * a
 
-    gf = g.astype(jnp.float32).reshape(B * N, -1)           # (BN, Cout)
-    w_k = weight.reshape(K, Cin, -1).astype(jnp.float32)
+    gf = g.astype(x.dtype).reshape(B * N, -1)               # (BN, Cout)
+    w_k = weight.reshape(K, Cin, -1).astype(x.dtype)
 
     # d_sampled (post-value adjoint per tap): (BN, K*Cin) wide
-    ds = jnp.einsum("no,kco->nkc", gf, w_k).reshape(B * N, K * Cin)
-    mf = mask.astype(jnp.float32).reshape(M)
-    dsm = (ds.reshape(M, Cin) * mf[:, None])                # (M, Cin)
+    ds = jnp.einsum("no,kco->nkc", gf, w_k,
+                    preferred_element_type=jnp.float32).astype(
+        x.dtype).reshape(B * N, K * Cin)
+    mf = mask.astype(x.dtype).reshape(M)
+    dsm = (ds.reshape(M, Cin) * mf[:, None])                # (M, Cin) bf16
 
     # sampled (pre-mask) slice-FMA for d_mask / d_weight
-    sampled = (rows[:, 0 * Cin:1 * Cin] * u00[:, None]
-               + rows[:, 1 * Cin:2 * Cin] * u01[:, None]
-               + rows[:, 2 * Cin:3 * Cin] * u10[:, None]
-               + rows[:, 3 * Cin:4 * Cin] * u11[:, None])   # (M, Cin)
-    d_mask = (ds.reshape(M, Cin) * sampled).sum(-1).reshape(mask.shape)
+    ud = x.dtype
+    sampled = (rows[:, 0 * Cin:1 * Cin] * u00[:, None].astype(ud)
+               + rows[:, 1 * Cin:2 * Cin] * u01[:, None].astype(ud)
+               + rows[:, 2 * Cin:3 * Cin] * u10[:, None].astype(ud)
+               + rows[:, 3 * Cin:4 * Cin] * u11[:, None].astype(ud))
+    d_mask = (ds.reshape(M, Cin) * sampled).sum(
+        -1, dtype=jnp.float32).reshape(mask.shape)
     cols = (sampled * mf[:, None]).reshape(B * N, K * Cin)
-    d_weight = jnp.einsum("nk,no->ko", cols, gf).astype(weight.dtype)
+    d_weight = jnp.einsum("nk,no->ko", cols, gf,
+                          preferred_element_type=jnp.float32).astype(
+        weight.dtype)
 
     def cdot(c):
-        return (rows[:, c * Cin:(c + 1) * Cin] * dsm).sum(-1)  # (M,)
+        return (rows[:, c * Cin:(c + 1) * Cin] * dsm).sum(
+            -1, dtype=jnp.float32)  # (M,) f32-accumulated
 
     gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
     d_sx = ((gv1 - gv0) * (1 - lyf) + (gv3 - gv2) * lyf) * a
@@ -274,9 +281,10 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
         [dsm * u00[:, None], dsm * u01[:, None],
          dsm * u10[:, None], dsm * u11[:, None]], axis=-1)  # (M, 4Cin)
     keys = (idx + (jnp.arange(B, dtype=jnp.int32) * TR)[:, None]).reshape(-1)
-    order = jnp.argsort(keys)
-    d_v4 = jnp.zeros((B * TR, 4 * Cin), jnp.float32)
-    d_v4 = d_v4.at[keys[order]].add(contrib[order], indices_are_sorted=True)
+    # unsorted bf16 scatter: sorting measured slower (keys follow the output
+    # raster already) and bf16 halves the 4KB-per-row scatter traffic
+    d_v4 = jnp.zeros((B * TR, 4 * Cin), x.dtype)
+    d_v4 = d_v4.at[keys].add(contrib.astype(x.dtype))
     d_v4 = d_v4.reshape(B, H + 1, W + 1, 4 * Cin)
 
     def corner(c, py, px):

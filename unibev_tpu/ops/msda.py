@@ -324,15 +324,17 @@ def _slab_level_op_bwd(H, W, res, g):
          gb * (u10 * a).reshape(-1, 1).astype(gb.dtype),
          gb * (u11 * a).reshape(-1, 1).astype(gb.dtype)], axis=-1)
     keys = (idx + (jnp.arange(BH, dtype=jnp.int32) * TR)[:, None]).reshape(-1)
-    d_v4 = jnp.zeros((BH * TR, 4 * D), jnp.float32)
+    # accumulate in the VALUE dtype (bf16 matches what plain autodiff of the
+    # bf16 forward would do, and halves the scatter's 4KB-per-row traffic)
+    d_v4 = jnp.zeros((BH * TR, 4 * D), value.dtype)
     if SORT_SCATTER:
         order = jnp.argsort(keys)
         d_v4 = d_v4.at[keys[order]].add(
-            contrib[order].astype(jnp.float32), indices_are_sorted=True)
+            contrib[order].astype(value.dtype), indices_are_sorted=True)
     else:
         # sampling locations follow the BEV raster, so keys are already
         # nearly sorted — the explicit sort pass wasn't paying for itself
-        d_v4 = d_v4.at[keys].add(contrib.astype(jnp.float32))
+        d_v4 = d_v4.at[keys].add(contrib.astype(value.dtype))
     d_v4 = d_v4.reshape(BH, H + 1, W + 1, 4 * D)
 
     # unpack the corner-packed adjoint with shifted adds, then crop the ring
