@@ -144,8 +144,12 @@ def main():
                                                      make_train_step)
         tx, _ = make_optimizer(total_steps=1000)
         state = create_train_state(variables, tx, jax.random.PRNGKey(7))
-        step = jax.jit(make_train_step(model, tx))
-        fn = lambda: step(state, batch)[1]
+        step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+        holder = {"state": state}
+
+        def fn():
+            holder["state"], m = step(holder["state"], batch)
+            return m
     else:
         predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
         fn = lambda: predict(variables, batch)

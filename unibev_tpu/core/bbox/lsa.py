@@ -125,13 +125,18 @@ def linear_sum_assignment(cost: jnp.ndarray, num_valid: jnp.ndarray) -> jnp.ndar
 
         return u, v, col4row, row4col
 
-    def outer_body(r, state):
-        return jax.lax.cond(
-            r < num_valid,
-            lambda s: assign_row(jnp.int32(r), s),
-            lambda s: s,
-            state)
+    # while (not fori) over rows: padded-GT rows beyond num_valid are never
+    # visited, so the sequential trip count follows the REAL object count
+    # (~35 on nuScenes) instead of the static max_gt=140 padding.  Under
+    # vmap the loop runs until every lane's num_valid is reached.
+    def outer_cond(st):
+        return st[0] < num_valid
 
-    _, _, col4row, _ = jax.lax.fori_loop(
-        0, R, outer_body, (u0, v0, col4row0, row4col0))
+    def outer_body(st):
+        r, state = st
+        return r + 1, assign_row(r, state)
+
+    _, (_, _, col4row, _) = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), (u0, v0, col4row0, row4col0)))
     return col4row
