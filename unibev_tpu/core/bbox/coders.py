@@ -48,24 +48,30 @@ class NMSFreeCoder:
         valid = jnp.ones_like(topk_scores, dtype=bool)
         if self.score_threshold is not None:
             # reference decay loop (nms_free_coder.py:64-73): never returns
-            # an empty set because of the threshold alone
-            def cond(state):
-                _, mask = state
-                return ~mask.any()
-
-            def body(state):
-                tmp, mask = state
-                tmp = tmp * 0.9
-                mask = jnp.where(tmp < 0.01,
-                                 jnp.ones_like(mask),
-                                 topk_scores >= tmp)
-                return tmp, mask
-
-            _, thresh_mask = jax.lax.while_loop(
-                cond, body,
-                (jnp.float32(self.score_threshold),
-                 topk_scores > self.score_threshold))
-            valid &= thresh_mask
+            # an empty set because of the threshold alone.  The threshold
+            # LADDER is static (thr * 0.9^k until < 0.01), so the loop
+            # vectorizes into one (max_num, K) compare — a lax.while_loop
+            # version measured 47 ms of pure sequential dispatch latency.
+            import numpy as np
+            ladder = []
+            t = np.float32(self.score_threshold)
+            while True:
+                t = np.float32(t * np.float32(0.9))
+                if t < np.float32(0.01):
+                    break
+                ladder.append(float(t))
+            pass0 = topk_scores > self.score_threshold
+            if ladder:
+                passes = topk_scores[:, None] >= jnp.asarray(
+                    ladder, jnp.float32)[None, :]          # (max_num, K)
+                anyk = passes.any(axis=0)                  # (K,)
+                first_k = jnp.argmax(anyk)
+                relaxed = jnp.where(anyk.any(),
+                                    passes[:, first_k],
+                                    jnp.ones_like(pass0))
+            else:
+                relaxed = jnp.ones_like(pass0)
+            valid &= jnp.where(pass0.any(), pass0, relaxed)
         if self.post_center_range is not None:
             pcr = jnp.asarray(self.post_center_range, jnp.float32)
             centers = boxes[:, :3]

@@ -226,18 +226,20 @@ def _onehot_level(value: jnp.ndarray, H: int, W: int,
         return jnp.einsum("bqv,bvd->bqd", dense, value,
                           preferred_element_type=jnp.float32).astype(value.dtype)
 
-    # checkpoint the chunk body: without it the scan saves every chunk's
-    # dense (Qc, V) sampling matrix as a residual (measured 20 x 1.7 GB at
-    # the SCA-img train shape — instant OOM); recomputing it per chunk in
-    # the backward is a few compare-FMA passes.
+    # checkpoint the chunk body: without it every chunk's dense (Qc, V)
+    # sampling matrix is saved as a residual (measured 20 x 1.7 GB at the
+    # SCA-img train shape — instant OOM); recomputing it per chunk in the
+    # backward is a few compare-FMA passes.  The chunk loop is UNROLLED
+    # python (n_chunks <= ~4): a lax.map accumulated its output through
+    # per-iteration dynamic-update-slices that cost 45 ms at inference.
     run_chunk_ckpt = jax.checkpoint(run_chunk)
     if n_chunks == 1:
         out = run_chunk_ckpt((idx, w))
     else:
-        idx_c = idx.reshape(BH, n_chunks, Qc, K).transpose(1, 0, 2, 3)
-        w_c = w.reshape(BH, n_chunks, Qc, K).transpose(1, 0, 2, 3)
-        out = jax.lax.map(run_chunk_ckpt, (idx_c, w_c))
-        out = out.transpose(1, 0, 2, 3).reshape(BH, n_chunks * Qc, D)
+        outs = [run_chunk_ckpt((idx[:, c * Qc:(c + 1) * Qc],
+                                w[:, c * Qc:(c + 1) * Qc]))
+                for c in range(n_chunks)]
+        out = jnp.concatenate(outs, axis=1)
     return out[:, :Q]
 
 
