@@ -169,6 +169,11 @@ class ResNet(nn.Module):
                                    style=self.style,
                                    dtype=self.dtype,
                                    name=f"layer{stage + 1}_{b}")
+                # NOTE: remat must stay on for ALL stages: skipping it for
+                # the 16x/32x DCN stages to avoid ~45 ms of backward
+                # re-gathers was tried and OOMs by 1.3 GB (the saved
+                # activations coexist with the DCN backward's 640 MB
+                # contribution buffers).
                 if self.with_cp:
                     x = nn.remat(lambda mdl, y: mdl(y))(block, x)
                 else:
