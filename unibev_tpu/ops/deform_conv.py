@@ -280,12 +280,14 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     contrib = jnp.concatenate(
         [dsm * u00[:, None], dsm * u01[:, None],
          dsm * u10[:, None], dsm * u11[:, None]], axis=-1)  # (M, 4Cin)
-    keys = (idx + (jnp.arange(B, dtype=jnp.int32) * TR)[:, None]).reshape(-1)
-    # unsorted bf16 scatter: sorting measured slower (keys follow the output
-    # raster already) and bf16 halves the 4KB-per-row scatter traffic
-    d_v4 = jnp.zeros((B * TR, 4 * Cin), x.dtype)
-    d_v4 = d_v4.at[keys].add(contrib.astype(x.dtype))
-    d_v4 = d_v4.reshape(B, H + 1, W + 1, 4 * Cin)
+    # unsorted bf16 scatter PER CAMERA: each (TR, 4Cin) target is ~12 MB so
+    # the read-modify-write can stay on-chip; sorting measured slower (keys
+    # follow the output raster already)
+    contrib_b = contrib.astype(x.dtype).reshape(B, N * K, 4 * Cin)
+    idx_bb = idx.reshape(B, N * K)
+    parts = [jnp.zeros((TR, 4 * Cin), x.dtype).at[idx_bb[b]].add(contrib_b[b])
+             for b in range(B)]
+    d_v4 = jnp.stack(parts, axis=0).reshape(B, H + 1, W + 1, 4 * Cin)
 
     def corner(c, py, px):
         t = d_v4[..., c * Cin:(c + 1) * Cin]

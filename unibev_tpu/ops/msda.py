@@ -325,18 +325,28 @@ def _slab_level_op_bwd(H, W, res, g):
          gb * (u01 * a).reshape(-1, 1).astype(gb.dtype),
          gb * (u10 * a).reshape(-1, 1).astype(gb.dtype),
          gb * (u11 * a).reshape(-1, 1).astype(gb.dtype)], axis=-1)
-    keys = (idx + (jnp.arange(BH, dtype=jnp.int32) * TR)[:, None]).reshape(-1)
     # accumulate in the VALUE dtype (bf16 matches what plain autodiff of the
-    # bf16 forward would do, and halves the scatter's 4KB-per-row traffic)
-    d_v4 = jnp.zeros((BH * TR, 4 * D), value.dtype)
-    if SORT_SCATTER:
-        order = jnp.argsort(keys)
-        d_v4 = d_v4.at[keys[order]].add(
-            contrib[order].astype(value.dtype), indices_are_sorted=True)
-    else:
-        # sampling locations follow the BEV raster, so keys are already
-        # nearly sorted — the explicit sort pass wasn't paying for itself
-        d_v4 = d_v4.at[keys].add(contrib.astype(value.dtype))
+    # bf16 forward would do, and halves the scatter's 4KB-per-row traffic).
+    # Scatter PER HEAD-GROUP: each target table is then ~10 MB, small enough
+    # for the read-modify-write to stay on-chip.
+    contrib_b = contrib.astype(value.dtype).reshape(BH, QP, 4 * D)
+    bytes_per_head = TR * 4 * D * value.dtype.itemsize
+    G = max(1, min(BH, int(12e6 // max(bytes_per_head, 1))))
+    while BH % G:
+        G -= 1
+    offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]
+    parts = []
+    for g in range(0, BH, G):
+        k = (idx[g:g + G] + offs).reshape(-1)
+        c = contrib_b[g:g + G].reshape(-1, 4 * D)
+        if SORT_SCATTER:
+            order = jnp.argsort(k)
+            part = jnp.zeros((G * TR, 4 * D), value.dtype).at[k[order]].add(
+                c[order], indices_are_sorted=True)
+        else:
+            part = jnp.zeros((G * TR, 4 * D), value.dtype).at[k].add(c)
+        parts.append(part)
+    d_v4 = (jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
     d_v4 = d_v4.reshape(BH, H + 1, W + 1, 4 * D)
 
     # unpack the corner-packed adjoint with shifted adds, then crop the ring
