@@ -52,6 +52,7 @@ def make_tables(root, version="v1.0-mini"):
             json.dump(rows, f)
 
 
+@pytest.mark.slow
 def test_create_data_nuscenes(tmp_path):
     make_tables(str(tmp_path))
     r = subprocess.run(

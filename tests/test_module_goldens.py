@@ -51,32 +51,33 @@ def t_ffn(x, sd, p):
 
 
 def t_msda_attn(query, value, ref, shapes, sd, p, points, query_pos=None,
-                z_anchors=None, output_proj=True):
+                z_anchors=None, output_proj=True, heads=None):
     """mmcv MultiScaleDeformableAttention / MSDeformableAttention3D* twin.
 
     ref: (B, Q, L, 2) for the 2D variant, (B, Q, Z, 2) with z_anchors=Z for
     the 3D (points//Z, Z) reshape contract (spatial_cross_attention_img.py
     :397-419)."""
+    heads = HEADS if heads is None else heads
     identity = query
     if query_pos is not None:
         query = query + query_pos
-    B, Q, _ = query.shape
+    B, Q, c = query.shape
     L = len(shapes)
-    hd = C // HEADS
-    v = t_lin(value, sd, f"{p}.value_proj").view(B, -1, HEADS, hd)
+    hd = c // heads
+    v = t_lin(value, sd, f"{p}.value_proj").view(B, -1, heads, hd)
     off = t_lin(query, sd, f"{p}.sampling_offsets").view(
-        B, Q, HEADS, L, points, 2)
-    w = t_lin(query, sd, f"{p}.attention_weights").view(B, Q, HEADS, L * points)
-    w = w.softmax(-1).view(B, Q, HEADS, L, points)
+        B, Q, heads, L, points, 2)
+    w = t_lin(query, sd, f"{p}.attention_weights").view(B, Q, heads, L * points)
+    w = w.softmax(-1).view(B, Q, heads, L, points)
     norm = torch.tensor([[wd, ht] for ht, wd in shapes], dtype=torch.float32)
     if z_anchors is None:
         loc = ref[:, :, None, :, None, :] + off / norm[None, None, None, :,
                                                        None, :]
     else:
         off = off / norm[None, None, None, :, None, :]
-        off = off.view(B, Q, HEADS, L, points // z_anchors, z_anchors, 2)
+        off = off.view(B, Q, heads, L, points // z_anchors, z_anchors, 2)
         loc = ref[:, :, None, None, None, :, :] + off
-        loc = loc.reshape(B, Q, HEADS, L, points, 2)
+        loc = loc.reshape(B, Q, heads, L, points, 2)
     out = torch_msda(v, shapes, loc, w)
     if output_proj:
         out = t_lin(out, sd, f"{p}.output_proj")
@@ -128,8 +129,19 @@ def test_cnw_fusion_golden():
 
 # ------------------------------------------------------- decoder layer
 
-def test_decoder_layer_with_refinement_golden():
+@pytest.mark.parametrize("dims", [
+    # (C, heads, jax dtype, tolerance): toy fp32 exactness, plus the
+    # FLAGSHIP-dim bf16 drift bound (VERDICT r2 #7) — the reference keeps
+    # these zones fp32 via force_fp32 (unibev_head.py:424); the repo runs
+    # them bf16 and this tolerance is the measured/asserted numeric bound.
+    (32, 4, "float32", dict(rtol=2e-4, atol=2e-4)),
+    (256, 8, "bfloat16", dict(rtol=4e-2, atol=4e-2)),
+], ids=["toy_fp32", "flagship_bf16"])
+def test_decoder_layer_with_refinement_golden(dims):
     from unibev_tpu.models.decoder import DetectionTransformerDecoder
+
+    C, HEADS, jdtype, tol = dims
+    jdtype = jnp.dtype(jdtype)
 
     rng = np.random.RandomState(1)
     sd = {}
@@ -149,11 +161,12 @@ def test_decoder_layer_with_refinement_golden():
     ref0 = rng.rand(B, Q, 3).astype(np.float32)
 
     from unibev_tpu.models.heads.unibev_head import Branch
-    branches = [Branch(10, C, kind="reg", name=f"reg_branch{i}")
+    branches = [Branch(10, C, kind="reg", dtype=jdtype, name=f"reg_branch{i}")
                 for i in range(2)]
 
     dec = DetectionTransformerDecoder(num_layers=2, embed_dims=C,
                                       num_heads=HEADS, ffn_dims=2 * C,
+                                      dtype=jdtype,
                                       cross_attn_cfg=dict(num_levels=1,
                                                           num_heads=HEADS))
 
@@ -164,7 +177,9 @@ def test_decoder_layer_with_refinement_golden():
         {"params": dec_params}, jnp.asarray(query), jnp.asarray(value),
         jnp.asarray(qpos), jnp.asarray(ref0), ((H, W),),
         reg_branches=[reg_fn(0), reg_fn(1)])
-    states, refs = np.asarray(states), np.asarray(refs)
+    states = np.asarray(states, np.float32)
+    refs = np.asarray(refs, np.float32)
+    rtol = tol
 
     # ---- torch twin (decoder.py:94-126 semantics)
     def t_reg(x, i):
@@ -204,7 +219,7 @@ def test_decoder_layer_with_refinement_golden():
         # cross-attn at ref xy
         ref2d = tref[..., None, :2]
         tq = t_msda_attn(tq, tv, ref2d, ((H, W),), sd, f"{p}.attentions.1",
-                         points=4, query_pos=tqp)
+                         points=4, query_pos=tqp, heads=HEADS)
         tq = t_ln(tq, sd, f"{p}.norms.1")
         tq = t_ffn(tq, sd, p)
         tq = t_ln(tq, sd, f"{p}.norms.2")
@@ -220,9 +235,18 @@ def test_decoder_layer_with_refinement_golden():
 
 # ------------------------------------------------------------ ImgLayer
 
-@pytest.mark.parametrize("rebatch_k", [0, 36])
-def test_img_layer_golden(rebatch_k):
+@pytest.mark.parametrize("rebatch_k,dims", [
+    (0, (32, 4, "float32", dict(rtol=2e-4, atol=2e-4))),
+    (36, (32, 4, "float32", dict(rtol=2e-4, atol=2e-4))),
+    # flagship-dim bf16 drift bound (VERDICT r2 #7); reference analog keeps
+    # SCA fp32 via force_fp32 (spatial_cross_attention_img.py:67)
+    (36, (256, 8, "bfloat16", dict(rtol=4e-2, atol=4e-2))),
+], ids=["dense_fp32", "rebatch_fp32", "rebatch_flagship_bf16"])
+def test_img_layer_golden(rebatch_k, dims):
     from unibev_tpu.models.encoders import BEVEncoderLayer
+
+    C, HEADS, jdtype, tol = dims
+    jdtype = jnp.dtype(jdtype)
 
     rng = np.random.RandomState(2)
     sd = {}
@@ -254,7 +278,7 @@ def test_img_layer_golden(rebatch_k):
     else:
         topk = None
     layer = BEVEncoderLayer(
-        embed_dims=C, ffn_dims=2 * C, modality="img",
+        embed_dims=C, ffn_dims=2 * C, modality="img", dtype=jdtype,
         tsa_cfg=dict(embed_dims=C, num_heads=HEADS, num_levels=1,
                      num_points=4),
         sca_cfg=sca_cfg)
@@ -263,14 +287,15 @@ def test_img_layer_golden(rebatch_k):
         jnp.asarray(bev_pos), jnp.asarray(ref2d), (bev_h, bev_w),
         jnp.asarray(ref_cam), jnp.asarray(hit), ((vh, vw),),
         topk_idx=None if topk is None else jnp.asarray(topk))
-    out = np.asarray(out)
+    out = np.asarray(out, np.float32)
+    rtol = tol
 
     # ---- torch twin (ImgLayer op order, encoder_unibev_detr_img.py:413-481)
     p = "pts_bbox_head.transformer.img_bev_encoder.layers.0"
     tq = torch.as_tensor(query)
     tq = t_msda_attn(tq, tq, torch.as_tensor(ref2d)[None], ((bev_h, bev_w),),
                      sd, f"{p}.attentions.0", points=4,
-                     query_pos=torch.as_tensor(bev_pos))
+                     query_pos=torch.as_tensor(bev_pos), heads=HEADS)
     tq = t_ln(tq, sd, f"{p}.norms.0")
     # SCA: per-camera nonzero rebatch + scatter/count
     # (spatial_cross_attention_img.py:141-215)
@@ -284,7 +309,7 @@ def test_img_layer_golden(rebatch_k):
         ref_reb = torch.as_tensor(ref_cam[:, n, idx])        # (1, K, Z, 2)
         v = torch.as_tensor(value[:, n])
         o = t_msda_attn(q_reb, v, ref_reb, ((vh, vw),), sd, da, points=8,
-                        z_anchors=Z, output_proj=False)
+                        z_anchors=Z, output_proj=False, heads=HEADS)
         slots[0, idx] += o[0]
     count = torch.as_tensor(hit.sum(1)).clamp(min=1)
     slots = slots / count[..., None]

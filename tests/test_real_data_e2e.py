@@ -173,6 +173,7 @@ def test_infos_built_from_files(tree):
     assert "gt_attrs" in info and info["num_radar_pts"][0] == 2
 
 
+@pytest.mark.slow
 def test_train_cli_on_files(tree):
     root, cfg = tree
     r = _run([sys.executable, osp.join(REPO, "tools/train_UniBEV.py"), cfg,
@@ -182,6 +183,7 @@ def test_train_cli_on_files(tree):
     assert any(l.endswith(".log") for l in logs)
 
 
+@pytest.mark.slow
 def test_test_cli_on_files(tree):
     root, cfg = tree
     out = osp.join(root, "results.json")

@@ -46,3 +46,23 @@ def test_paramwise_scaling():
     assert abs(float(out["img_backbone"]["layer3_0"]["conv1"]["kernel"][0]) - 0.1) < 1e-6
     assert abs(float(out["pts_backbone"]["block0_conv0"]["kernel"][0]) - 0.1) < 1e-6
     assert float(out["pts_bbox_head"]["bev_embedding"][0]) == 1.0
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_flagship_shape_aot_lower():
+    """The flagship-shape sharded train step traces + partitions (lower only).
+
+    Kept out of the driver's dryrun path (it blew the round-2 time budget,
+    MULTICHIP_r02.json); this test is the coverage for it.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import __graft_entry__ as ge
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    ge._flagship_shape_aot_check(mesh)

@@ -261,7 +261,7 @@ def test_strided_inverse_backward_matches_autodiff():
                                 (1, 1, 1))
     splan = make_xpair_plan(sidx, nidx[:, 14], 256)
     sinv = inverse_strided_idx(grid.coords, grid.mask, out_table,
-                               (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape)
+                               (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape, 128)
 
     fb = jnp.asarray(feats, jnp.bfloat16)
     w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)

@@ -193,6 +193,11 @@ def build_infos(root, version, max_sweeps=10):
             cams=cam_infos,
             scene_token=sample["scene_token"],
             timestamp=sample["timestamp"],
+            # lidar sensor -> ego frame (devkit center-dist range filtering
+            # measures from the ego pose, not the lidar origin)
+            lidar2ego_rotation=Rl,
+            lidar2ego_translation=np.asarray(l_calib["translation"],
+                                             np.float64),
             gt_boxes=np.asarray(gt_boxes, np.float32).reshape(-1, 7),
             gt_names=gt_names,
             gt_velocity=np.asarray(gt_velocity, np.float32).reshape(-1, 2),

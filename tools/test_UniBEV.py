@@ -102,7 +102,13 @@ def main():
 
     mesh = Mesh(np.array(jax.devices()), ("data",))
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
+    # Replicated outputs: with process_count>1 the batch is a GLOBAL array
+    # sharded over all hosts' devices, so batch-sharded outputs would not be
+    # addressable from this process (device_get would raise).  An all-gather
+    # at the end of predict makes every row readable everywhere; each process
+    # then reads ITS rows at global offset process_index*B_local + j.
+    predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict),
+                      out_shardings=NamedSharding(mesh, P()))
 
     n = min(len(dataset), args.max_samples or len(dataset))
     idxs = shard_indices(n, shuffle=False, drop_last=False)
@@ -140,24 +146,36 @@ def main():
             break
         chunk, metas, b = item
         out = jax.device_get(predict(variables, b))
+        # global batch row for this process's local row j (the global batch
+        # stacks each process's local rows in process order along 'data')
+        row0 = jax.process_index() * B
         for j, i in enumerate(chunk):
+            gj = row0 + j
             results.append(dict(
                 sample_idx=str(metas[j].get("sample_idx", int(i))),
-                boxes_3d=np.asarray(out["bboxes"])[j].tolist(),
-                scores_3d=np.asarray(out["scores"])[j].tolist(),
-                labels_3d=np.asarray(out["labels"])[j].tolist(),
-                valid=np.asarray(out["valid"])[j].tolist(),
+                boxes_3d=np.asarray(out["bboxes"])[gj].tolist(),
+                scores_3d=np.asarray(out["scores"])[gj].tolist(),
+                labels_3d=np.asarray(out["labels"])[gj].tolist(),
+                valid=np.asarray(out["valid"])[gj].tolist(),
             ))
             if args.show_dir:
                 from unibev_tpu.utils.visualize import save_bev
-                valid = np.asarray(out["valid"])[j]
-                scores = np.asarray(out["scores"])[j]
+                valid = np.asarray(out["valid"])[gj]
+                scores = np.asarray(out["scores"])[gj]
                 keep = valid & (scores > 0.3)
+                if "points" in b:
+                    # row gj is this process's local data — read the
+                    # addressable shard, not the global array
+                    shards = b["points"].addressable_shards
+                    pts = np.concatenate([np.asarray(s.data) for s in shards])[j] \
+                        if jax.process_count() > 1 else np.asarray(b["points"][j])
+                else:
+                    pts = None
                 save_bev(
                     os.path.join(args.show_dir, f"sample_{int(i):04d}.png"),
-                    points=np.asarray(b["points"][j]) if "points" in b else None,
-                    boxes=np.asarray(out["bboxes"])[j][keep],
-                    labels=np.asarray(out["labels"])[j][keep],
+                    points=pts,
+                    boxes=np.asarray(out["bboxes"])[gj][keep],
+                    labels=np.asarray(out["labels"])[gj][keep],
                     pc_range=tuple(cfg.point_cloud_range)
                     if "point_cloud_range" in cfg else (-54, -54, -5, 54, 54, 3))
         done += len(chunk)

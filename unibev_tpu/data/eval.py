@@ -231,8 +231,15 @@ def calc_tp(md: MetricData, metric: str) -> float:
 
 def filter_by_range(samples: List[Dict], class_names: Sequence[str],
                     is_gt: bool) -> List[Dict]:
-    """devkit filter_eval_boxes: per-class xy-distance range from the
-    ego/lidar origin; GTs with num_pts == 0 are also dropped."""
+    """devkit filter_eval_boxes: per-class xy-distance range from the EGO
+    pose (add_center_dist); GTs with num_pts == 0 are also dropped.
+
+    The devkit measures from the ego pose in the global frame; when a sample
+    carries ``l2e_rot``/``l2e_trans`` (lidar->ego), box centers are mapped to
+    the ego frame first — equivalent up to the (negligible) pitch/roll of the
+    ego pose.  Without them the test falls back to the lidar origin, which
+    sits ~0.9 m from the ego origin on nuScenes and can flip boxes right at
+    the 30/40/50 m class boundaries."""
     out = []
     for s in samples:
         boxes = np.asarray(s["boxes"], np.float32).reshape(-1, 9) \
@@ -241,7 +248,11 @@ def filter_by_range(samples: List[Dict], class_names: Sequence[str],
         ranges = np.array([CLASS_RANGE.get(
             class_names[int(l)] if 0 <= int(l) < len(class_names) else "",
             50.0) for l in labels], np.float32)
-        keep = np.linalg.norm(boxes[:, :2], axis=-1) < ranges
+        centers = boxes[:, :3].astype(np.float64)
+        if s.get("l2e_rot") is not None:
+            centers = centers @ np.asarray(s["l2e_rot"]).T \
+                + np.asarray(s["l2e_trans"])
+        keep = np.linalg.norm(centers[:, :2], axis=-1) < ranges
         if is_gt and "num_pts" in s and s["num_pts"] is not None:
             keep &= np.asarray(s["num_pts"]).reshape(-1) > 0
         f = dict(boxes=boxes[keep], labels=labels[keep])

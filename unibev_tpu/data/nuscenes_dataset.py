@@ -169,7 +169,13 @@ class NuScenesDataset:
         if len(mask) == len(boxes):
             boxes, labels = boxes[mask], labels[mask]
         keep = labels >= 0
-        return dict(gt_bboxes_3d=boxes[keep], gt_labels_3d=labels[keep])
+        ann = dict(gt_bboxes_3d=boxes[keep], gt_labels_3d=labels[keep])
+        if "lidar2ego_rotation" in info:
+            ann["l2e_rot"] = np.asarray(info["lidar2ego_rotation"],
+                                        np.float64).reshape(3, 3)
+            ann["l2e_trans"] = np.asarray(info["lidar2ego_translation"],
+                                          np.float64).reshape(3)
+        return ann
 
     # ------------------------------------------------------------- pipeline
 

@@ -25,6 +25,11 @@ from unibev_tpu.ops.deform_conv import modulated_deform_conv2d
 from unibev_tpu.registry import BACKBONES
 
 ARCH_SETTINGS = {
+    # depth 26 = one Bottleneck per stage: same channel/stride/DCN structure
+    # and stage-4 width (2048) as depth 50/101 at ~1/4 the block count — used
+    # by the multichip dryrun/tests where compile time on the 1-core host is
+    # the budget, never by a production config.
+    26: (1, 1, 1, 1),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
     152: (3, 8, 36, 3),

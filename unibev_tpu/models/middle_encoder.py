@@ -178,7 +178,7 @@ class SparseEncoder(nn.Module):
                 # inverse table: d_feats as a gather over OUTPUT rows
                 sinv = inverse_strided_idx(grid.coords, grid.mask, new_table,
                                            (3, 3, 3), (2, 2, 2), pad,
-                                           out_shape)
+                                           out_shape, self.capacities[i + 1])
                 cin = x.shape[-1]
                 w = self.param(f"down{i}_weight", nn.initializers.he_normal(),
                                (27 * cin, blocks[-1]))
@@ -201,7 +201,8 @@ class SparseEncoder(nn.Module):
         # NO x-pair plan here (the (3,1,1) kernel's taps run along Z, not X)
         # but the inverse-table backward still applies
         sinv = inverse_strided_idx(grid.coords, grid.mask, out_table,
-                                   (3, 1, 1), (2, 1, 1), (0, 0, 0), out_shape)
+                                   (3, 1, 1), (2, 1, 1), (0, 0, 0), out_shape,
+                                   self.capacities[-1])
         cin = x.shape[-1]
         w = self.param("conv_out_weight", nn.initializers.he_normal(),
                        (3 * cin, self.output_channels))

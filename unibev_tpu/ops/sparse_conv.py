@@ -27,6 +27,40 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _tap_offsets(kernel: Tuple[int, int, int],
+                 base: Tuple[int, int, int] = (0, 0, 0)) -> np.ndarray:
+    """(K, 3) static (dz, dy, dx) tap offsets, row-major, dx fastest."""
+    kz, ky, kx = kernel
+    bz, by, bx = base
+    return np.array([(dz + bz, dy + by, dx + bx)
+                     for dz in range(kz) for dy in range(ky)
+                     for dx in range(kx)], np.int32)
+
+
+def _div_nonneg(v: jnp.ndarray, s: int) -> jnp.ndarray:
+    """v // s for v guaranteed >= 0 — ONE HLO op (shift or trunc divide).
+
+    jnp.floor_divide on signed ints emits a ~14-op sign-correction chain
+    PER CALL SITE; unrolled over 27 taps x 3 axes that was ~half the sparse
+    encoder's op count (and most of the multichip dryrun's CPU compile time).
+    """
+    if s == 1:
+        return v
+    if s & (s - 1) == 0:
+        return jax.lax.shift_right_logical(v, int(s).bit_length() - 1)
+    return jax.lax.div(v, jnp.int32(s))
+
+
+def _rem_nonneg(v: jnp.ndarray, s: int) -> jnp.ndarray:
+    """v % s for v >= 0 — one HLO op."""
+    if s == 1:
+        return jnp.zeros_like(v)
+    if s & (s - 1) == 0:
+        return jax.lax.bitwise_and(v, jnp.int32(s - 1))
+    return jax.lax.rem(v, jnp.int32(s))
 
 
 class SparseGrid(NamedTuple):
@@ -104,29 +138,23 @@ def subm_neighbor_idx(grid: SparseGrid, table: jnp.ndarray,
     D, H, W = grid.shape
     V = grid.coords.shape[0]
     kz, ky, kx = kernel
-    rz, ry, rx = kz // 2, ky // 2, kx // 2
 
-    b = grid.coords[:, 0]
-    z = grid.coords[:, 1]
-    y = grid.coords[:, 2]
-    x = grid.coords[:, 3]
-
-    flat_list, ok_list = [], []
-    for dz in range(-rz, rz + 1):
-        for dy in range(-ry, ry + 1):
-            for dx in range(-rx, rx + 1):
-                nz, ny, nx = z + dz, y + dy, x + dx
-                ok = (grid.mask & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
-                      & (nx >= 0) & (nx < W))
-                flat = ((b * D + nz) * H + ny) * W + nx
-                flat_list.append(jnp.where(ok, flat, 0))
-                ok_list.append(ok)
+    b = grid.coords[:, 0:1]
+    # All K taps in ONE set of (V, K) ops (a Python tap loop emits ~15 (V,)
+    # ops per tap — 400+ ops per call site, compile-time poison and narrow
+    # 1D work on the VPU).
+    offs = _tap_offsets(kernel, (-(kz // 2), -(ky // 2), -(kx // 2)))
+    nz = grid.coords[:, 1:2] + offs[None, :, 0]
+    ny = grid.coords[:, 2:3] + offs[None, :, 1]
+    nx = grid.coords[:, 3:4] + offs[None, :, 2]
+    ok = (grid.mask[:, None] & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
+          & (nx >= 0) & (nx < W))
+    flat = ((b * D + nz) * H + ny) * W + nx
+    flats = jnp.where(ok, flat, 0)
     # ONE batched table lookup for all K taps (K separate 4-byte-row gathers
     # are per-op-overhead-bound on TPU).
-    flats = jnp.stack(flat_list, axis=1)
-    oks = jnp.stack(ok_list, axis=1)
     nidx = _wide_table_lookup(table, flats.reshape(-1)).reshape(flats.shape)
-    return jnp.where(oks, nidx, V).astype(jnp.int32)
+    return jnp.where(ok, nidx, V).astype(jnp.int32)
 
 
 class XPairPlan(NamedTuple):
@@ -356,43 +384,44 @@ subm_xpair_conv.defvjp(_subm_xp_fwd, _subm_xp_bwd)
 
 
 def inverse_strided_idx(coords_in, mask_in, out_table,
-                        kernel, stride, padding, out_shape):
+                        kernel, stride, padding, out_shape, out_capacity):
     """(Vin, K) OUTPUT-row indices feeding each input voxel's gradient.
 
     For a strided conv, input i contributes to output o at tap d iff
     i = o*s - p + d, i.e. o = (i + p - d) / s — UNIQUE per tap when the
     division is exact.  That makes d_feats another GATHER-conv (over the
     output rows, with per-tap-transposed weights) instead of the ~10x
-    slower scatter.  Sentinel = the output row capacity (out_table's own
-    sentinel value, pointing at the zero padding row).
+    slower scatter.  Sentinel = ``out_capacity`` (the zero padding row),
+    passed explicitly: deriving it as max(out_table) silently corrupts
+    d_feats if the output table ever saturates (max becomes capacity-1,
+    a REAL row).
     """
     Do, Ho, Wo = out_shape
     kz, ky, kx = kernel
     sz, sy, sx = stride
     pz, py, px = padding
-    b = coords_in[:, 0]
-    z = coords_in[:, 1]
-    y = coords_in[:, 2]
-    x = coords_in[:, 3]
-    flat_list, ok_list = [], []
-    for dz in range(kz):
-        for dy in range(ky):
-            for dx in range(kx):
-                qz, rz = jnp.divmod(z + pz - dz, sz)
-                qy, ry = jnp.divmod(y + py - dy, sy)
-                qx, rx = jnp.divmod(x + px - dx, sx)
-                ok = (mask_in & (rz == 0) & (ry == 0) & (rx == 0)
-                      & (qz >= 0) & (qz < Do) & (qy >= 0) & (qy < Ho)
-                      & (qx >= 0) & (qx < Wo))
-                flat = ((b * Do + qz) * Ho + qy) * Wo + qx
-                flat_list.append(jnp.where(ok, flat, 0))
-                ok_list.append(ok)
-    flats = jnp.stack(flat_list, axis=1)
-    oks = jnp.stack(ok_list, axis=1)
+    b = coords_in[:, 0:1]
+    offs = _tap_offsets(kernel)
+    # v = i + p - d can be as low as -(k-1); shift by k*s (a multiple of the
+    # stride, so quotient shifts by exactly k and remainder is unchanged)
+    # to stay nonnegative and use 1-op trunc div/rem instead of jnp.divmod's
+    # ~28-op signed floor chain per tap per axis.
+    vz = coords_in[:, 1:2] + (pz + kz * sz) - offs[None, :, 0]
+    vy = coords_in[:, 2:3] + (py + ky * sy) - offs[None, :, 1]
+    vx = coords_in[:, 3:4] + (px + kx * sx) - offs[None, :, 2]
+    qz = _div_nonneg(vz, sz) - kz
+    qy = _div_nonneg(vy, sy) - ky
+    qx = _div_nonneg(vx, sx) - kx
+    ok = (mask_in[:, None]
+          & (_rem_nonneg(vz, sz) == 0) & (_rem_nonneg(vy, sy) == 0)
+          & (_rem_nonneg(vx, sx) == 0)
+          & (qz >= 0) & (qz < Do) & (qy >= 0) & (qy < Ho)
+          & (qx >= 0) & (qx < Wo))
+    flat = ((b * Do + qz) * Ho + qy) * Wo + qx
+    flats = jnp.where(ok, flat, 0)
     nidx = _wide_table_lookup(out_table, flats.reshape(-1)).reshape(
         flats.shape)
-    sentinel = jnp.max(out_table)   # the capacity value by construction
-    return jnp.where(oks, nidx, sentinel).astype(jnp.int32)
+    return jnp.where(ok, nidx, out_capacity).astype(jnp.int32)
 
 
 @jax.custom_vjp
@@ -504,8 +533,12 @@ def downsample_with_table(coords: jnp.ndarray, mask: jnp.ndarray,
     pz, py, px = padding
 
     def axis_candidates(i, p, k, s, size):
-        lo = -(-(i + p - k + 1) // s)
-        hi = (i + p) // s
+        # ceil((i+p-k+1)/s) and floor((i+p)/s) via 1-op trunc div on values
+        # offset nonnegative (i >= -1 for padding rows; +k*s keeps both
+        # numerators >= 0 and shifts the quotient by exactly k).
+        v = i + (p + k * s)
+        lo = _div_nonneg(v - k + 1 + (s - 1), s) - k
+        hi = _div_nonneg(v, s) - k
         lo = jnp.maximum(lo, 0)
         hi = jnp.minimum(hi, size - 1)
         n = max(1, -(-k // s))
@@ -549,10 +582,10 @@ def downsample_with_table(coords: jnp.ndarray, mask: jnp.ndarray,
     n_out = jnp.minimum(total, capacity)
     mask_out = jnp.arange(capacity, dtype=jnp.int32) < n_out
     flat_idx = jnp.where(mask_out, flat_idx, 0)
-    ob = flat_idx // (Do * Ho * Wo)
-    oz = (flat_idx // (Ho * Wo)) % Do
-    oy = (flat_idx // Wo) % Ho
-    ox = flat_idx % Wo
+    ob = _div_nonneg(flat_idx, Do * Ho * Wo)
+    oz = _rem_nonneg(_div_nonneg(flat_idx, Ho * Wo), Do)
+    oy = _rem_nonneg(_div_nonneg(flat_idx, Wo), Ho)
+    ox = _rem_nonneg(flat_idx, Wo)
     coords_out = jnp.stack([ob, oz, oy, ox], axis=1).astype(jnp.int32)
     coords_out = jnp.where(mask_out[:, None], coords_out, -1)
     overflow = jnp.maximum(total - capacity, 0)
@@ -582,8 +615,9 @@ def downsample_active_set(coords: jnp.ndarray, mask: jnp.ndarray,
     pz, py, px = padding
 
     def axis_candidates(i, p, k, s, size):
-        lo = -(-(i + p - k + 1) // s)   # ceil division
-        hi = (i + p) // s
+        v = i + (p + k * s)             # nonneg (see downsample_with_table)
+        lo = _div_nonneg(v - k + 1 + (s - 1), s) - k   # ceil division
+        hi = _div_nonneg(v, s) - k
         lo = jnp.maximum(lo, 0)
         hi = jnp.minimum(hi, size - 1)
         n = max(1, -(-k // s))          # max candidates per axis (static)
@@ -619,10 +653,10 @@ def downsample_active_set(coords: jnp.ndarray, mask: jnp.ndarray,
                                num_segments=capacity + 1)[:-1]
     out_mask = jax.ops.segment_sum(keep.astype(jnp.int32), seg,
                                    num_segments=capacity + 1)[:-1] > 0
-    ob = ukey // (Do * Ho * Wo)
-    oz = (ukey // (Ho * Wo)) % Do
-    oy = (ukey // Wo) % Ho
-    ox = ukey % Wo
+    ob = _div_nonneg(ukey, Do * Ho * Wo)
+    oz = _rem_nonneg(_div_nonneg(ukey, Ho * Wo), Do)
+    oy = _rem_nonneg(_div_nonneg(ukey, Wo), Ho)
+    ox = _rem_nonneg(ukey, Wo)
     coords_out = jnp.stack([ob, oz, oy, ox], axis=1).astype(jnp.int32)
     coords_out = jnp.where(out_mask[:, None], coords_out, -1)
     total_sites = jnp.sum(first.astype(jnp.int32))
@@ -645,25 +679,17 @@ def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
     sz, sy, sx = stride
     pz, py, px = padding
 
-    b = coords_out[:, 0]
-    z = coords_out[:, 1] * sz - pz
-    y = coords_out[:, 2] * sy - py
-    x = coords_out[:, 3] * sx - px
-
-    flat_list, ok_list = [], []
-    for dz in range(kz):
-        for dy in range(ky):
-            for dx in range(kx):
-                nz, ny, nx = z + dz, y + dy, x + dx
-                ok = (out_mask & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
-                      & (nx >= 0) & (nx < W))
-                flat = ((b * D + nz) * H + ny) * W + nx
-                flat_list.append(jnp.where(ok, flat, 0))
-                ok_list.append(ok)
-    flats = jnp.stack(flat_list, axis=1)
-    oks = jnp.stack(ok_list, axis=1)
+    b = coords_out[:, 0:1]
+    offs = _tap_offsets(kernel)
+    nz = coords_out[:, 1:2] * sz - pz + offs[None, :, 0]
+    ny = coords_out[:, 2:3] * sy - py + offs[None, :, 1]
+    nx = coords_out[:, 3:4] * sx - px + offs[None, :, 2]
+    ok = (out_mask[:, None] & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
+          & (nx >= 0) & (nx < W))
+    flat = ((b * D + nz) * H + ny) * W + nx
+    flats = jnp.where(ok, flat, 0)
     nidx = _wide_table_lookup(table_in, flats.reshape(-1)).reshape(flats.shape)
-    return jnp.where(oks, nidx, V).astype(jnp.int32)
+    return jnp.where(ok, nidx, V).astype(jnp.int32)
 
 
 def to_dense(feats: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:

@@ -21,12 +21,16 @@ from unibev_tpu.data.nuscenes_dataset import collate
 from unibev_tpu.parallel.dist import process_allgather, shard_indices
 
 _MAX_PRED = 300   # NMSFreeCoder max_num (reference config :377)
-_MAX_GT = 256
 
 
-def _pack_results(preds: List[dict], gts: List[dict],
-                  idxs: np.ndarray) -> Dict[str, np.ndarray]:
-    """Fixed-shape arrays for cross-process allgather."""
+def _pack_results(preds: List[dict], gts: List[dict], idxs: np.ndarray,
+                  max_gt: int) -> Dict[str, np.ndarray]:
+    """Fixed-shape arrays for cross-process allgather.
+
+    ``max_gt`` must be the GLOBAL max GT count (all processes must pack the
+    same shapes); the caller derives it via a scalar allgather so crowded
+    samples are never silently truncated.
+    """
     n = len(preds)
     out = dict(
         idx=np.asarray(idxs[:n], np.int32),
@@ -34,12 +38,12 @@ def _pack_results(preds: List[dict], gts: List[dict],
         pred_scores=np.zeros((n, _MAX_PRED), np.float32),
         pred_labels=np.zeros((n, _MAX_PRED), np.int32),
         pred_n=np.zeros((n,), np.int32),
-        gt_boxes=np.zeros((n, _MAX_GT, 9), np.float32),
-        gt_labels=np.zeros((n, _MAX_GT), np.int32),
+        gt_boxes=np.zeros((n, max_gt, 9), np.float32),
+        gt_labels=np.zeros((n, max_gt), np.int32),
         gt_n=np.zeros((n,), np.int32),
     )
     for i, (p, g) in enumerate(zip(preds, gts)):
-        np_, ng = min(len(p["boxes"]), _MAX_PRED), min(len(g["boxes"]), _MAX_GT)
+        np_, ng = min(len(p["boxes"]), _MAX_PRED), min(len(g["boxes"]), max_gt)
         out["pred_boxes"][i, :np_] = p["boxes"][:np_, :9]
         out["pred_scores"][i, :np_] = p["scores"][:np_]
         out["pred_labels"][i, :np_] = p["labels"][:np_]
@@ -120,7 +124,11 @@ def make_eval_fn(model, max_samples: Optional[int] = None):
                 gts.append(dict(boxes=g[v],
                                 labels=np.asarray(sample["gt_labels"])[v]))
         if jax.process_count() > 1:
-            gathered = process_allgather(_pack_results(preds, gts, idxs))
+            local_max = max([len(g["boxes"]) for g in gts] + [1])
+            global_max = int(np.max(process_allgather(
+                np.asarray([local_max], np.int32))))
+            gathered = process_allgather(
+                _pack_results(preds, gts, idxs, max_gt=global_max))
             preds, gts = _unpack_results(gathered)
         classes = getattr(dataset, "classes", [str(i) for i in range(10)])
         return evaluate_detections(preds, gts, classes)
