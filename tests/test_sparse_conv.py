@@ -133,14 +133,27 @@ def test_downsample_with_table_matches_sort_variant():
         (Do, Ho, Wo), cap, B)
     co2, mo2, table2, ov2 = downsample_with_table(
         jnp.array(coords), jnp.array(mask), (3, 3, 3), stride, padding,
-        (Do, Ho, Wo), cap, B)
+        (Do, Ho, Wo), cap, B, in_shape=(D, H, W))
     assert int(ov1) == int(ov2) == 0
     np.testing.assert_array_equal(np.array(mo1), np.array(mo2))
     np.testing.assert_array_equal(np.array(co1), np.array(co2))
     # returned table must equal build_table of the new grid
+    from unibev_tpu.ops.sparse_conv import table_entries
     g = SparseGrid(co2, mo2, (Do, Ho, Wo), B)
     ref_table = build_table(g)
-    np.testing.assert_array_equal(np.array(table2), np.array(ref_table))
+    np.testing.assert_array_equal(np.array(table_entries(table2)),
+                                  np.array(table_entries(ref_table)))
+    # table_in (occupancy derived from the input table, scatter-free) must
+    # give the identical result
+    co3, mo3, table3, ov3 = downsample_with_table(
+        jnp.array(coords), jnp.array(mask), (3, 3, 3), stride, padding,
+        (Do, Ho, Wo), cap, B, in_shape=(D, H, W),
+        table_in=build_table(SparseGrid(jnp.array(coords), jnp.array(mask),
+                                        (D, H, W), B)))
+    assert int(ov3) == 0
+    np.testing.assert_array_equal(np.array(co1), np.array(co3))
+    np.testing.assert_array_equal(np.array(table_entries(table3)),
+                                  np.array(table_entries(ref_table)))
 
 
 def test_subm_gather_conv_grad_matches_default_ad():
@@ -226,7 +239,7 @@ def test_xpair_cols_match_plain_gather_strided():
     out_shape = ((D + 2 * 1 - 3) // 2 + 1, (H - 1) // 2 + 1, (W - 1) // 2 + 1)
     co, mo, _, _ = downsample_with_table(
         grid.coords, grid.mask, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape,
-        128, B)
+        128, B, in_shape=(D, H, W))
     sidx = strided_neighbor_idx(grid, table, co, mo, (3, 3, 3), (2, 2, 2),
                                 (1, 1, 1))
     splan = make_xpair_plan(sidx, nidx[:, 14], 256)
@@ -256,7 +269,7 @@ def test_strided_inverse_backward_matches_autodiff():
     out_shape = ((D + 2 - 3) // 2 + 1, (H - 1) // 2 + 1, (W - 1) // 2 + 1)
     co, mo, out_table, _ = downsample_with_table(
         grid.coords, grid.mask, (3, 3, 3), (2, 2, 2), (1, 1, 1), out_shape,
-        128, B)
+        128, B, in_shape=(D, H, W))
     sidx = strided_neighbor_idx(grid, table, co, mo, (3, 3, 3), (2, 2, 2),
                                 (1, 1, 1))
     splan = make_xpair_plan(sidx, nidx[:, 14], 256)
@@ -279,3 +292,41 @@ def test_strided_inverse_backward_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=5e-2, rtol=5e-2, err_msg=name)
+
+
+def test_xquad_cols_match_quantized_gather():
+    """fp8 x-quad im2col == quantize(feats)-then-27-row-gather, bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from unibev_tpu.ops.sparse_conv import (make_xpair_plan, make_xquad_plan,
+                                            xquad_cols, subm_xquad_conv,
+                                            subm_xpair_conv)
+    rng = np.random.RandomState(7)
+    B, D, H, W, Cin, Cout = 2, 6, 12, 12, 8, 8
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 220, 256)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    qplan = make_xquad_plan(nidx, grid, table)
+
+    fb = jnp.asarray(feats, jnp.bfloat16)
+    fq = fb.astype(jnp.float8_e4m3fn).astype(jnp.bfloat16)  # value quantizer
+    cols_fast = np.asarray(xquad_cols(fb, qplan), np.float32)
+    fpad = jnp.concatenate([fq, jnp.zeros((1, Cin), jnp.bfloat16)], 0)
+    cols_ref = np.asarray(jnp.take(fpad, nidx.reshape(-1), axis=0).reshape(
+        256, 27 * Cin), np.float32)
+    cols_ref_x = cols_ref.reshape(256, 9, 3, Cin).transpose(
+        0, 2, 1, 3).reshape(256, 27 * Cin)
+    np.testing.assert_array_equal(cols_fast, cols_ref_x)
+
+    # gradients: STE backward == the exact pair-path backward
+    pplan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
+    w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
+
+    def loss_quad(f, w_):
+        return (subm_xquad_conv(f, nidx, qplan, pplan, w_, grid.mask)
+                .astype(jnp.float32) ** 2).sum()
+
+    gf, gw = jax.grad(loss_quad, argnums=(0, 1))(fb, w)
+    assert np.isfinite(np.asarray(gf, np.float32)).all()
+    assert np.isfinite(np.asarray(gw, np.float32)).all()

@@ -47,6 +47,35 @@ def load_xspace(log_dir):
     return xs
 
 
+def analyze_by_scope(xs, n_iters, depth=2):
+    """Roll device time up by the flax module scope carried in each op's
+    tf_op metadata — the ground-truth per-block attribution (opcode+shape
+    families misattribute fused glue; the round-2 PERF.md '140 ms decoder
+    tail' was really the sparse middle encoder's index machinery)."""
+    plane = next(p for p in xs.planes if "TPU" in p.name)
+    smeta = {k: v.name for k, v in plane.stat_metadata.items()}
+    emeta = plane.event_metadata
+    line = next(l for l in plane.lines if l.name == "XLA Ops")
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for ev in line.events:
+        md = emeta[ev.metadata_id]
+        tf_op = ""
+        for st in md.stats:
+            if smeta.get(st.metadata_id) == "tf_op":
+                tf_op = st.str_value
+        parts = tf_op.split("/")
+        # path: jit(...)/<Model.method>/<Model>/<module>/<sub>/...
+        key = "/".join(parts[3:3 + depth]) or "(no-scope)"
+        agg[key] += ev.duration_ps
+        cnt[key] += 1
+    print(f"== rollup by module scope (depth {depth}), ms/iter ==")
+    for k, d in agg.most_common(60):
+        print(f"  {d/1e9/n_iters:9.2f} ms  x{cnt[k]//n_iters:<6d} {k[:110]}")
+    print(f"  TOTAL {sum(agg.values())/1e9/n_iters:.1f} ms   "
+          f"ops/iter {sum(cnt.values())//n_iters}")
+
+
 def analyze(xs, n_iters):
     for plane in xs.planes:
         if "TPU" in plane.name and ("Core" in plane.name or "TensorCore"
@@ -124,7 +153,20 @@ def main():
     p.add_argument("--train", action="store_true")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--logdir", default="/tmp/flagship_trace")
+    p.add_argument("--by-scope", action="store_true",
+                   help="roll up by flax module scope instead of op family")
+    p.add_argument("--scope-depth", type=int, default=2)
+    p.add_argument("--reuse-trace", action="store_true",
+                   help="analyze an existing --logdir without re-capturing")
     args = p.parse_args()
+
+    if args.reuse_trace:
+        xs = load_xspace(args.logdir)
+        if args.by_scope:
+            analyze_by_scope(xs, args.iters, args.scope_depth)
+        else:
+            analyze(xs, args.iters)
+        return
 
     from unibev_tpu.flagship import build_flagship, synthetic_batch
     from unibev_tpu.models.detectors.unibev import UniBEV
@@ -157,7 +199,10 @@ def main():
     os.system(f"rm -rf {args.logdir}")
     capture(fn, args.iters, args.logdir)
     xs = load_xspace(args.logdir)
-    analyze(xs, args.iters)
+    if args.by_scope:
+        analyze_by_scope(xs, args.iters, args.scope_depth)
+    else:
+        analyze(xs, args.iters)
 
 
 if __name__ == "__main__":

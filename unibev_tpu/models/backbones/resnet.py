@@ -63,6 +63,7 @@ class DeformConv2d(nn.Module):
     stride: int = 1
     dilation: int = 1
     deform_groups: int = 1
+    table_dtype: str = "bf16"   # 'fp8': quad-packed e4m3 gather tables
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,7 +90,8 @@ class DeformConv2d(nn.Module):
         return modulated_deform_conv2d(
             x, offset, mask, weight, bias=None,
             kernel_size=(self.kernel_size, self.kernel_size),
-            stride=self.stride, padding=self.dilation, dilation=self.dilation)
+            stride=self.stride, padding=self.dilation, dilation=self.dilation,
+            table_dtype=self.table_dtype)
 
 
 class Bottleneck(nn.Module):

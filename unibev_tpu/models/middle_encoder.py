@@ -29,6 +29,7 @@ from unibev_tpu.ops.sparse_conv import (SparseGrid, best_gather_conv,
                                         build_table, downsample_active_set,
                                         downsample_with_table,
                                         inverse_strided_idx, make_xpair_plan,
+                                        make_xquad_plan,
                                         strided_neighbor_idx,
                                         subm_neighbor_idx, to_dense)
 from unibev_tpu.registry import MIDDLE_ENCODERS, VOXEL_ENCODERS
@@ -87,14 +88,14 @@ class SubMConvBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, neighbor_idx, mask, plan=None,
+    def __call__(self, feats, neighbor_idx, mask, plan=None, qplan=None,
                  *, train: bool = False):
         cin = feats.shape[-1]
         K = neighbor_idx.shape[-1]
         w = self.param("weight", nn.initializers.he_normal(),
                        (K * cin, self.out_channels))
         out = best_gather_conv(feats, neighbor_idx, w, mask, plan=plan,
-                               subm=True)
+                               subm=True, qplan=qplan)
         out = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
                               name="bn")(out, mask, train=train)
         return nn.relu(out) if self.relu else out
@@ -105,15 +106,15 @@ class SparseBasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, neighbor_idx, mask, plan=None,
+    def __call__(self, feats, neighbor_idx, mask, plan=None, qplan=None,
                  *, train: bool = False):
         identity = feats
         out = SubMConvBN(self.channels, relu=True, dtype=self.dtype,
                          name="conv1")(feats, neighbor_idx, mask, plan=plan,
-                                       train=train)
+                                       qplan=qplan, train=train)
         out = SubMConvBN(self.channels, relu=False, dtype=self.dtype,
                          name="conv2")(out, neighbor_idx, mask, plan=plan,
-                                       train=train)
+                                       qplan=qplan, train=train)
         return nn.relu(out + identity)
 
 
@@ -131,6 +132,9 @@ class SparseEncoder(nn.Module):
     # Fixed active-set capacity after each downsample (res0 comes from the
     # voxelizer's max_voxels).
     capacities: Sequence[int] = (120000, 90000, 60000, 40000)
+    # 'fp8': e4m3 x-quad gather tables — half the im2col gather rows at a
+    # value quantization (config-gated; gradients stay bf16 via STE).
+    table_dtype: str = "bf16"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -141,13 +145,17 @@ class SparseEncoder(nn.Module):
         Returns (B, H/8, W/8, 2*output_channels) dense BEV features.
         """
         D, H, W = self.sparse_shape
+        use_quad = self.table_dtype == "fp8"
         grid = SparseGrid(coords, mask, (D, H, W), batch_size)
         table = build_table(grid)
         nidx = subm_neighbor_idx(grid, table)
         # x-pair plan per resolution: tap (0,0,+1) is column 14 of the
         # (dz,dy,dx) row-major 3x3x3 table
         plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
+        qplan = make_xquad_plan(nidx, grid, table) if use_quad else None
 
+        # conv_input consumes the raw 5-channel voxel features — keep it
+        # exact (quantizing the inputs themselves is not a table trick)
         x = SubMConvBN(self.encoder_channels[0][0], dtype=self.dtype,
                        name="conv_input")(voxel_feats, nidx, mask, plan=plan,
                                           train=train)
@@ -159,7 +167,7 @@ class SparseEncoder(nn.Module):
             for j in range(n_basic):
                 x = SparseBasicBlock(blocks[j], dtype=self.dtype,
                                      name=f"stage{i}_block{j}")(
-                    x, nidx, grid.mask, plan=plan, train=train)
+                    x, nidx, grid.mask, plan=plan, qplan=qplan, train=train)
             if last_is_down:
                 pad = self.encoder_paddings[i][-1]
                 pad = (pad, pad, pad) if isinstance(pad, int) else tuple(pad)
@@ -168,13 +176,16 @@ class SparseEncoder(nn.Module):
                     for s, p in zip(grid.shape, pad))
                 co, mo, new_table, _ = downsample_with_table(
                     grid.coords, grid.mask, (3, 3, 3), (2, 2, 2), pad,
-                    out_shape, self.capacities[i + 1], batch_size)
+                    out_shape, self.capacities[i + 1], batch_size,
+                    in_shape=grid.shape, table_in=table)
                 sidx = strided_neighbor_idx(grid, table, co, mo,
                                             (3, 3, 3), (2, 2, 2), pad)
                 # strided plan: anchors from sidx, x-successors of the INPUT
                 # resolution (sentinel = input row count)
                 splan = make_xpair_plan(sidx, plan.xp1,
                                         grid.coords.shape[0])
+                sqplan = (make_xquad_plan(sidx, grid, table)
+                          if use_quad else None)
                 # inverse table: d_feats as a gather over OUTPUT rows
                 sinv = inverse_strided_idx(grid.coords, grid.mask, new_table,
                                            (3, 3, 3), (2, 2, 2), pad,
@@ -182,7 +193,8 @@ class SparseEncoder(nn.Module):
                 cin = x.shape[-1]
                 w = self.param(f"down{i}_weight", nn.initializers.he_normal(),
                                (27 * cin, blocks[-1]))
-                x = best_gather_conv(x, sidx, w, mo, plan=splan, inv_idx=sinv)
+                x = best_gather_conv(x, sidx, w, mo, plan=splan, inv_idx=sinv,
+                                     qplan=sqplan)
                 x = MaskedBatchNorm(blocks[-1], dtype=self.dtype,
                                     name=f"down{i}_bn")(x, mo, train=train)
                 x = nn.relu(x)
@@ -190,12 +202,15 @@ class SparseEncoder(nn.Module):
                 table = new_table
                 nidx = subm_neighbor_idx(grid, table)
                 plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
+                qplan = (make_xquad_plan(nidx, grid, table)
+                         if use_quad else None)
 
         # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z only.
         out_shape = ((grid.shape[0] - 3) // 2 + 1, grid.shape[1], grid.shape[2])
         co, mo, out_table, _ = downsample_with_table(
             grid.coords, grid.mask, (3, 1, 1), (2, 1, 1), (0, 0, 0),
-            out_shape, self.capacities[-1], batch_size)
+            out_shape, self.capacities[-1], batch_size,
+            in_shape=grid.shape, table_in=table)
         sidx = strided_neighbor_idx(grid, table, co, mo, (3, 1, 1), (2, 1, 1),
                                     (0, 0, 0))
         # NO x-pair plan here (the (3,1,1) kernel's taps run along Z, not X)

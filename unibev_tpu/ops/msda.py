@@ -161,6 +161,12 @@ def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
     w10 = lyf * (1 - lxf)
     w11 = lyf * lxf
 
+    # NOTE: an MXU-reduction variant (rows * wide-broadcast weights, then a
+    # stacked-identity matmul over (P, corner)) DEVICE-traced 2x slower than
+    # this slice-FMA form (13.3 vs 6.7 ms at the TSA shape) — XLA
+    # materialized the broadcast corner-weight planes.  Wall-clock timing
+    # under the axon relay is unreliable (block_until_ready returns early);
+    # trust only trace-derived times for these comparisons.
     bytes_per_head = TR * 4 * D * value.dtype.itemsize
     G = max(1, min(BH, int(20e6 // max(bytes_per_head, 1))))
     while BH % G:

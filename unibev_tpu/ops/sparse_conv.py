@@ -71,42 +71,70 @@ class SparseGrid(NamedTuple):
     batch: int
 
 
-def _fast_cumsum_binary(bitmap: jnp.ndarray, block: int = 512) -> jnp.ndarray:
-    """Inclusive prefix sum of a 0/1 vector in ~3 passes + one MXU matmul.
+class PackedTable(NamedTuple):
+    """Dense flat-coord -> row-index table in a gather-ready dual layout.
 
-    Counts fit f32 exactly (<= 2^24 active sites by construction).
+    ``rows`` holds TWO (r0, 128) views of the same logical 1-D table, the
+    second shifted 64 lanes.  Any aligned 3-cell x-window [f-1, f+1] fits
+    entirely inside one 128-lane row of at least one layout (a 3-wide window
+    cannot cross both a 128-aligned and a 64-shifted boundary), so all three
+    x-neighbors of a cell cost ONE gather row instead of three — the gather
+    engine charges per row regardless of width (tools/microbench.py).  The
+    logical cells live at offset _LEAD of layout 0; both layouts carry
+    sentinel padding on each side so clipped window reads stay in bounds.
     """
-    n = bitmap.shape[0]
-    nb = -(-n // block)
-    x = jnp.pad(bitmap.astype(jnp.float32), (0, nb * block - n))
-    x2 = x.reshape(nb, block)
-    tri = jnp.tril(jnp.ones((block, block), jnp.float32))   # within[i] = sum_{j<=i}
-    within = jax.lax.dot_general(
-        x2, tri, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (nb, block)
-    block_tot = within[:, -1]
-    offs = jnp.cumsum(block_tot) - block_tot                 # small (nb,)
-    out = (within + offs[:, None]).reshape(-1)[:n]
-    return out.astype(jnp.int32)
+    rows: jnp.ndarray     # (2*r0, 128) int32; [0:r0] aligned, [r0:] +64
+    r0: int
+    size: int             # logical cell count
+    sentinel: int
 
 
-def _wide_table_lookup(table: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
-    """table[flat] via 128-lane-row gather + one-hot lane select.
+_LEAD = 64   # sentinel cells before logical cell 0 in the packed buffer
 
-    The gather engine charges per ROW regardless of width, so gathering
-    4-byte scalars wastes ~2x; fetching the 128-lane row containing each
-    entry and selecting the lane on the VPU runs at the row rate.  (8-lane
-    rows measured faster on a 40k-row toy table but 25 ms SLOWER in-model
-    on the 10.9M-entry resolution tables — wider rows win at size.)
+
+def _pack_table(table1d: jnp.ndarray, sentinel: int) -> PackedTable:
+    size = table1d.shape[0]
+    r0 = -(-(size + _LEAD) // 128) + 1
+    buflen = r0 * 128 + _LEAD
+    buf = jnp.concatenate([
+        jnp.full((_LEAD,), sentinel, jnp.int32),
+        table1d.astype(jnp.int32),
+        jnp.full((buflen - _LEAD - size,), sentinel, jnp.int32)])
+    rows = jnp.concatenate([buf[:r0 * 128].reshape(r0, 128),
+                            buf[_LEAD:].reshape(r0, 128)], axis=0)
+    return PackedTable(rows, r0, size, sentinel)
+
+
+def table_entries(pt: PackedTable) -> jnp.ndarray:
+    """Logical 1-D view (size,) — for tests/debugging."""
+    return pt.rows[:pt.r0].reshape(-1)[_LEAD:_LEAD + pt.size]
+
+
+def table_occupancy(pt: PackedTable) -> jnp.ndarray:
+    """(size,) bool: cell active (one elementwise pass, no scatter)."""
+    return table_entries(pt) != pt.sentinel
+
+
+def window3_lookup(pt: PackedTable, flat: jnp.ndarray):
+    """(left, center, right) = table[flat-1], table[flat], table[flat+1].
+
+    ``flat`` must be clipped to [0, size); out-of-range neighbors are the
+    CALLER's job to mask (cell 0's "left" reads the sentinel lead).  One
+    gather row per query: layout 0 when the window doesn't straddle its
+    row boundary, the 64-shifted layout otherwise.
     """
-    n = table.shape[0]
-    nrows = -(-n // 128)
-    t2d = jnp.pad(table, (0, nrows * 128 - n)).reshape(nrows, 128)
-    rows = jnp.take(t2d, flat >> 7, axis=0)                  # (N, 128)
-    lane = (flat & 127).astype(jnp.int32)
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-              == lane[:, None])
-    return jnp.where(onehot, rows, 0).sum(axis=1)
+    p = flat + (_LEAD - 1)                      # cell index of the LEFT tap
+    lane0 = p & 127
+    use0 = lane0 <= 125
+    row = jnp.where(use0, p >> 7, pt.r0 + ((p - 64) >> 7))
+    lane = jnp.where(use0, lane0, lane0 - 64)
+    rows = pt.rows.at[row].get(mode="promise_in_bounds")     # (N, 128)
+    d = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) - lane[:, None]
+    zero = jnp.zeros_like(rows)
+    left = jnp.where(d == 0, rows, zero).sum(axis=1)
+    cent = jnp.where(d == 1, rows, zero).sum(axis=1)
+    right = jnp.where(d == 2, rows, zero).sum(axis=1)
+    return left, cent, right
 
 
 def _flat_index(coords: jnp.ndarray, mask: jnp.ndarray,
@@ -117,44 +145,55 @@ def _flat_index(coords: jnp.ndarray, mask: jnp.ndarray,
     return jnp.where(mask, flat, trash)
 
 
-def build_table(grid: SparseGrid) -> jnp.ndarray:
+def build_table(grid: SparseGrid) -> PackedTable:
     """Dense flat-coord -> row-index lookup table, sentinel V for empty."""
     D, H, W = grid.shape
     V = grid.coords.shape[0]
     size = grid.batch * D * H * W
-    flat = _flat_index(grid.coords, grid.mask, grid.shape, size)
-    table = jnp.full((size + 1,), V, jnp.int32)
-    table = table.at[flat].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
-    return table[:-1]
+    r0 = -(-(size + _LEAD) // 128) + 1
+    buflen = r0 * 128 + _LEAD
+    flat = _flat_index(grid.coords, grid.mask, grid.shape, buflen - _LEAD - 1)
+    buf = jnp.full((buflen,), V, jnp.int32)
+    # trash writes land in the tail sentinel slack, beyond any window read
+    buf = buf.at[flat + _LEAD].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
+    rows = jnp.concatenate([buf[:r0 * 128].reshape(r0, 128),
+                            buf[_LEAD:].reshape(r0, 128)], axis=0)
+    return PackedTable(rows, r0, size, V)
 
 
-def subm_neighbor_idx(grid: SparseGrid, table: jnp.ndarray,
+def subm_neighbor_idx(grid: SparseGrid, table: PackedTable,
                       kernel: Tuple[int, int, int] = (3, 3, 3)) -> jnp.ndarray:
     """(V, K) row indices of each active voxel's kernel-window neighbors.
 
     Out-of-grid / empty neighbors get index V (the zero padding row).
     Tap order is (dz, dy, dx) row-major — the weight layout contract.
+
+    The kx==3 taps of each (dz, dy) plane are x-adjacent in the flat table,
+    so the whole plane costs ONE window3 gather row: 9 rows per voxel
+    instead of 27 (the per-resolution neighbor build was the single
+    hottest block of the flagship middle encoder).
     """
     D, H, W = grid.shape
     V = grid.coords.shape[0]
     kz, ky, kx = kernel
+    assert kx == 3, kernel
 
     b = grid.coords[:, 0:1]
-    # All K taps in ONE set of (V, K) ops (a Python tap loop emits ~15 (V,)
-    # ops per tap — 400+ ops per call site, compile-time poison and narrow
-    # 1D work on the VPU).
-    offs = _tap_offsets(kernel, (-(kz // 2), -(ky // 2), -(kx // 2)))
+    offs = _tap_offsets((kz, ky, 1), (-(kz // 2), -(ky // 2), 0))
     nz = grid.coords[:, 1:2] + offs[None, :, 0]
     ny = grid.coords[:, 2:3] + offs[None, :, 1]
-    nx = grid.coords[:, 3:4] + offs[None, :, 2]
-    ok = (grid.mask[:, None] & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
-          & (nx >= 0) & (nx < W))
-    flat = ((b * D + nz) * H + ny) * W + nx
-    flats = jnp.where(ok, flat, 0)
-    # ONE batched table lookup for all K taps (K separate 4-byte-row gathers
-    # are per-op-overhead-bound on TPU).
-    nidx = _wide_table_lookup(table, flats.reshape(-1)).reshape(flats.shape)
-    return jnp.where(ok, nidx, V).astype(jnp.int32)
+    x = grid.coords[:, 3:4]
+    plane_ok = (grid.mask[:, None] & (nz >= 0) & (nz < D)
+                & (ny >= 0) & (ny < H))
+    flat = ((b * D + nz) * H + ny) * W + x
+    flat = jnp.clip(jnp.where(plane_ok, flat, 0), 0, table.size - 1)
+    left, cent, right = window3_lookup(table, flat.reshape(-1))
+    P = offs.shape[0]
+    left = jnp.where(plane_ok & (x > 0), left.reshape(-1, P), V)
+    cent = jnp.where(plane_ok, cent.reshape(-1, P), V)
+    right = jnp.where(plane_ok & (x < W - 1), right.reshape(-1, P), V)
+    return jnp.stack([left, cent, right], axis=-1).reshape(
+        -1, P * 3).astype(jnp.int32)
 
 
 class XPairPlan(NamedTuple):
@@ -336,7 +375,145 @@ def _subm_gc_bwd(res, g):
 subm_gather_conv.defvjp(_subm_gc_fwd, _subm_gc_bwd)
 
 
-# ------------------------------------------------------- x-pair fast paths
+# -------------------------------------------------- fp8 x-quad fast path
+
+class XQuadPlan(NamedTuple):
+    """Single-anchor x-window gather plan over an fp8 TRIPLE-packed table.
+
+    pack[c] holds fp8(f[cell x]), fp8(f[cell x+1]), fp8(f[cell x+2]) in one
+    s32 lane (byte 3 unused), where the +1/+2 cells are DIRECT grid lookups
+    (zero row when empty).  Unlike the bf16 pair scheme, every emptiness
+    pattern of an x-triple (cl, cm, cr) then needs only ONE anchor row:
+
+      case0 cl active:  A = pack[cl] -> (A.b0, A.b1, A.b2)
+      case1 cm active:  A = pack[cm] -> (0,    A.b0, A.b1)
+      case2 cr active:  A = pack[cr] -> (0,    0,    A.b0)
+
+    Half the gather rows of the pair path at the same table bytes
+    (4 B/channel), at an e4m3 quantization of the VALUES — config-gated.
+    """
+    anchor: jnp.ndarray    # (Vout, P) row in pack table (V = zero row)
+    case: jnp.ndarray      # (Vout, P) in {0, 1, 2}
+    xp1: jnp.ndarray       # (Vin,) row of each voxel's x+1 grid cell
+    xp2: jnp.ndarray       # (Vin,) row of each voxel's x+2 grid cell
+
+
+def make_xquad_plan(neighbor_idx: jnp.ndarray, grid: SparseGrid,
+                    table: PackedTable) -> XQuadPlan:
+    """Derive the plan from a (Vout, 3k) dx-fastest tap table + the input
+    grid (for the direct x+1 / x+2 successor lookups)."""
+    Vout, K = neighbor_idx.shape
+    assert K % 3 == 0, K
+    n_rows = grid.coords.shape[0]
+    t = neighbor_idx.reshape(Vout, K // 3, 3)
+    cl, cm, cr = t[..., 0], t[..., 1], t[..., 2]
+    cl_ok = cl < n_rows
+    cm_ok = cm < n_rows
+    case = jnp.where(cl_ok, 0, jnp.where(cm_ok, 1, 2)).astype(jnp.int32)
+    anchor = jnp.where(cl_ok, cl, jnp.where(cm_ok, cm, cr)).astype(jnp.int32)
+
+    D, H, W = grid.shape
+    b, z, y, x = (grid.coords[:, 0], grid.coords[:, 1], grid.coords[:, 2],
+                  grid.coords[:, 3])
+    cell1 = ((b * D + z) * H + y) * W + jnp.clip(x + 1, 0, W - 1)
+    cell1 = jnp.clip(jnp.where(grid.mask, cell1, 0), 0, table.size - 1)
+    l1, c1, r1 = window3_lookup(table, cell1)   # cells x, x+1, x+2
+    xp1 = jnp.where(grid.mask & (x + 1 < W), c1, n_rows).astype(jnp.int32)
+    xp2 = jnp.where(grid.mask & (x + 2 < W), r1, n_rows).astype(jnp.int32)
+    return XQuadPlan(anchor, case, xp1, xp2)
+
+
+def _pack_fp8_triple(feats: jnp.ndarray, xp1, xp2) -> jnp.ndarray:
+    """(V+1, C) s32 packed table (last row zeros) from bf16 feats."""
+    V, C = feats.shape
+    f8 = jax.lax.bitcast_convert_type(
+        feats.astype(jnp.float8_e4m3fn), jnp.uint8).astype(jnp.uint32)
+    f8p = jnp.concatenate([f8, jnp.zeros((1, C), jnp.uint32)], axis=0)
+    q = (f8 | (f8p.at[xp1].get(mode="promise_in_bounds") << 8)
+         | (f8p.at[xp2].get(mode="promise_in_bounds") << 16))
+    return jnp.concatenate([q, jnp.zeros((1, C), jnp.uint32)],
+                           axis=0).astype(jnp.int32)
+
+
+def xquad_cols(feats: jnp.ndarray, plan: XQuadPlan) -> jnp.ndarray:
+    """im2col columns (Vout, K*Cin) in the x-major (dx, plane, cin) order of
+    ``xpair_cols`` — fp8-quantized values, ONE gather row per plane."""
+    V, Cin = feats.shape
+    Vout, P = plan.anchor.shape
+    tab = _pack_fp8_triple(feats, plan.xp1, plan.xp2)
+    A = jax.lax.bitcast_convert_type(
+        tab.at[plan.anchor.reshape(-1)].get(
+            mode="promise_in_bounds").reshape(Vout, P * Cin), jnp.uint32)
+
+    def b2f(u):
+        v8 = (u & jnp.uint32(0xFF)).astype(jnp.uint8)
+        return jax.lax.bitcast_convert_type(
+            v8, jnp.float8_e4m3fn).astype(feats.dtype)
+
+    m0 = jnp.broadcast_to((plan.case == 0)[:, :, None],
+                          (Vout, P, Cin)).reshape(Vout, P * Cin)
+    m1 = jnp.broadcast_to((plan.case == 1)[:, :, None],
+                          (Vout, P, Cin)).reshape(Vout, P * Cin)
+    # select on the PACKED words (shift so the wanted byte is byte 0), then
+    # ONE unpack pass
+    zero = jnp.zeros_like(A)
+    tl_p = jnp.where(m0, A, zero)
+    tm_p = jnp.where(m0, A >> 8, jnp.where(m1, A, zero))
+    tr_p = jnp.where(m0, A >> 16, jnp.where(m1, A >> 8, A))
+    packed = jnp.concatenate([tl_p, tm_p, tr_p], axis=-1)
+    return b2f(packed)                           # (Vout, 3*P*Cin)
+
+
+@jax.custom_vjp
+def subm_xquad_conv(feats, neighbor_idx, qplan, pplan, weight, out_mask):
+    """Submanifold conv with the fp8 x-quad forward; gradients flow through
+    the exact bf16 pair path (straight-through on the value quantizer)."""
+    cols = xquad_cols(feats, qplan)
+    w = xpair_weight(weight, qplan.anchor.shape[1], feats.shape[1])
+    out = jnp.dot(cols, w.astype(feats.dtype),
+                  preferred_element_type=jnp.float32).astype(feats.dtype)
+    return jnp.where(out_mask[:, None], out, 0.0)
+
+
+def _subm_xq_fwd(feats, neighbor_idx, qplan, pplan, weight, out_mask):
+    return subm_xquad_conv(feats, neighbor_idx, qplan, pplan, weight,
+                           out_mask), \
+        (feats, neighbor_idx, pplan, weight, out_mask)
+
+
+def _subm_xq_bwd(res, g):
+    d_feats, _, _, d_weight, _ = _subm_xp_bwd(res, g)
+    return d_feats, None, None, None, d_weight, None
+
+
+subm_xquad_conv.defvjp(_subm_xq_fwd, _subm_xq_bwd)
+
+
+@jax.custom_vjp
+def strided_xquad_conv(feats, neighbor_idx, qplan, pplan, inv_idx, weight,
+                       out_mask):
+    """Strided conv with the fp8 x-quad forward; backward through the exact
+    bf16 pair path / inverse-table gather (straight-through quantizer)."""
+    cols = xquad_cols(feats, qplan)
+    w = xpair_weight(weight, qplan.anchor.shape[1], feats.shape[1])
+    out = jnp.dot(cols, w.astype(feats.dtype),
+                  preferred_element_type=jnp.float32).astype(feats.dtype)
+    return jnp.where(out_mask[:, None], out, 0.0)
+
+
+def _strided_xq_fwd(feats, neighbor_idx, qplan, pplan, inv_idx, weight,
+                    out_mask):
+    return strided_xquad_conv(feats, neighbor_idx, qplan, pplan, inv_idx,
+                              weight, out_mask), \
+        (feats, neighbor_idx, pplan, inv_idx, weight, out_mask)
+
+
+def _strided_xq_bwd(res, g):
+    d_feats, _, _, _, d_weight, _ = _strided_xp_bwd(res, g)
+    return d_feats, None, None, None, None, d_weight, None
+
+
+strided_xquad_conv.defvjp(_strided_xq_fwd, _strided_xq_bwd)
 
 @jax.custom_vjp
 def subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask):
@@ -383,7 +560,7 @@ def _subm_xp_bwd(res, g):
 subm_xpair_conv.defvjp(_subm_xp_fwd, _subm_xp_bwd)
 
 
-def inverse_strided_idx(coords_in, mask_in, out_table,
+def inverse_strided_idx(coords_in, mask_in, out_table: PackedTable,
                         kernel, stride, padding, out_shape, out_capacity):
     """(Vin, K) OUTPUT-row indices feeding each input voxel's gradient.
 
@@ -395,33 +572,56 @@ def inverse_strided_idx(coords_in, mask_in, out_table,
     passed explicitly: deriving it as max(out_table) silently corrupts
     d_feats if the output table ever saturates (max becomes capacity-1,
     a REAL row).
+
+    For kx==3, sx==2 the three x-tap candidates per (dz, dy) plane collapse
+    to the two adjacent cells {m-1, m} (m = (x+px)//2 in output coords), so
+    the plane costs one window3 gather row: 9 rows per voxel instead of 27.
     """
     Do, Ho, Wo = out_shape
     kz, ky, kx = kernel
     sz, sy, sx = stride
     pz, py, px = padding
     b = coords_in[:, 0:1]
-    offs = _tap_offsets(kernel)
     # v = i + p - d can be as low as -(k-1); shift by k*s (a multiple of the
     # stride, so quotient shifts by exactly k and remainder is unchanged)
     # to stay nonnegative and use 1-op trunc div/rem instead of jnp.divmod's
     # ~28-op signed floor chain per tap per axis.
-    vz = coords_in[:, 1:2] + (pz + kz * sz) - offs[None, :, 0]
-    vy = coords_in[:, 2:3] + (py + ky * sy) - offs[None, :, 1]
-    vx = coords_in[:, 3:4] + (px + kx * sx) - offs[None, :, 2]
-    qz = _div_nonneg(vz, sz) - kz
-    qy = _div_nonneg(vy, sy) - ky
-    qx = _div_nonneg(vx, sx) - kx
-    ok = (mask_in[:, None]
-          & (_rem_nonneg(vz, sz) == 0) & (_rem_nonneg(vy, sy) == 0)
-          & (_rem_nonneg(vx, sx) == 0)
-          & (qz >= 0) & (qz < Do) & (qy >= 0) & (qy < Ho)
-          & (qx >= 0) & (qx < Wo))
-    flat = ((b * Do + qz) * Ho + qy) * Wo + qx
-    flats = jnp.where(ok, flat, 0)
-    nidx = _wide_table_lookup(out_table, flats.reshape(-1)).reshape(
-        flats.shape)
-    return jnp.where(ok, nidx, out_capacity).astype(jnp.int32)
+    dz = jnp.arange(kz, dtype=jnp.int32)
+    dy = jnp.arange(ky, dtype=jnp.int32)
+    dx = jnp.arange(kx, dtype=jnp.int32)
+    vz = coords_in[:, 1:2] + (pz + kz * sz) - dz[None, :]
+    vy = coords_in[:, 2:3] + (py + ky * sy) - dy[None, :]
+    vx = coords_in[:, 3:4] + (px + kx * sx) - dx[None, :]
+    qz = _div_nonneg(vz, sz) - kz                           # (V, kz)
+    qy = _div_nonneg(vy, sy) - ky                           # (V, ky)
+    qx = _div_nonneg(vx, sx) - kx                           # (V, kx)
+    okz = (_rem_nonneg(vz, sz) == 0) & (qz >= 0) & (qz < Do)
+    oky = (_rem_nonneg(vy, sy) == 0) & (qy >= 0) & (qy < Ho)
+    okx = (_rem_nonneg(vx, sx) == 0) & (qx >= 0) & (qx < Wo)
+
+    assert kx == 1 or sx == 2, (kernel, stride)  # window covers <=2 x cells
+    # plane cell at the window CENTER c = clip of the largest x candidate
+    # (tap dx=0); every valid x tap hits c or c-1.
+    c = jnp.clip(qx[:, 0], 0, Wo - 1)
+    qzp = qz[:, :, None]                                    # (V, kz, 1)
+    qyp = qy[:, None, :]                                    # (V, 1, ky)
+    plane_ok = (mask_in[:, None, None] & okz[:, :, None] & oky[:, None, :])
+    mcell = ((b[:, :, None] * Do + qzp) * Ho + qyp) * Wo \
+        + c[:, None, None]                                  # (V, kz, ky)
+    mcell = jnp.clip(jnp.where(plane_ok, mcell, 0), 0, out_table.size - 1)
+    left, cent, _ = window3_lookup(out_table, mcell.reshape(-1))
+    P = kz * ky
+    left = left.reshape(-1, P)
+    cent = cent.reshape(-1, P)
+    # per-tap select: tap dx hits cell qx[dx]; == c -> center, c-1 -> left
+    sel_c = (qx == c[:, None])                              # (V, kx)
+    sel_l = (qx == c[:, None] - 1)
+    val = jnp.where(sel_c[:, None, :], cent[:, :, None],
+                    left[:, :, None])                       # (V, P, kx)
+    ok = (plane_ok.reshape(-1, P)[:, :, None]
+          & (okx & (sel_c | sel_l))[:, None, :])
+    return jnp.where(ok, val, out_capacity).reshape(
+        -1, P * kx).astype(jnp.int32)
 
 
 @jax.custom_vjp
@@ -489,20 +689,30 @@ _FAST_GATHER_TABLE_BYTES = 20e6
 
 
 def best_gather_conv(feats, neighbor_idx, weight, out_mask, plan=None,
-                     subm=False, inv_idx=None):
-    """Dispatch: x-pair fast path when a plan exists, feats are bf16, and
-    the pair table fits the fast gather window (stage 3's 20.5 MB table
-    measured SLOWER through x-pair than the plain 27-row gather).  For
-    strided convs, inv_idx routes the backward through the inverse-table
-    gather instead of a scatter."""
+                     subm=False, inv_idx=None, qplan=None):
+    """Dispatch: fp8 x-quad when a quad plan exists (half the gather rows,
+    value-quantized — config-gated); else the x-pair fast path when a pair
+    plan exists, feats are bf16, and the pair table fits the fast gather
+    window (stage 3's 20.5 MB table measured SLOWER through x-pair than the
+    plain 27-row gather).  For strided convs, inv_idx routes the backward
+    through the inverse-table gather instead of a scatter."""
     pack_bytes = feats.shape[0] * feats.shape[1] * 4
-    use_pair = (plan is not None and feats.dtype == jnp.bfloat16
-                and pack_bytes <= _FAST_GATHER_TABLE_BYTES
+    in_window = pack_bytes <= _FAST_GATHER_TABLE_BYTES
+    use_quad = (qplan is not None and plan is not None
+                and feats.dtype == jnp.bfloat16 and in_window
                 and neighbor_idx.shape[1] % 3 == 0)
+    use_pair = (plan is not None and feats.dtype == jnp.bfloat16
+                and in_window and neighbor_idx.shape[1] % 3 == 0)
     if subm:
+        if use_quad:
+            return subm_xquad_conv(feats, neighbor_idx, qplan, plan, weight,
+                                   out_mask)
         if use_pair:
             return subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask)
         return subm_gather_conv(feats, neighbor_idx, weight, out_mask)
+    if use_quad and inv_idx is not None:
+        return strided_xquad_conv(feats, neighbor_idx, qplan, plan, inv_idx,
+                                  weight, out_mask)
     if use_pair or inv_idx is not None:
         return strided_xpair_conv(feats, neighbor_idx,
                                   plan if use_pair else None, inv_idx,
@@ -516,71 +726,91 @@ def downsample_with_table(coords: jnp.ndarray, mask: jnp.ndarray,
                           padding: Tuple[int, int, int],
                           out_shape: Tuple[int, int, int],
                           capacity: int,
-                          batch: int):
-    """spconv output-site generation via occupancy bitmap + prefix sum.
+                          batch: int,
+                          in_shape: Tuple[int, int, int] = None,
+                          table_in: PackedTable = None):
+    """spconv output-site generation via dense occupancy pooling.
 
-    Faster than the sort-based variant: the candidate sites (<= 8 per input
-    voxel for k3 s2) are scattered into a dense output-resolution bitmap;
-    a cumulative sum then yields BOTH the compact row index of every active
-    site (the lookup table build_table would otherwise compute) and the
-    sorted coordinate list (jnp.nonzero in linear order == sorted keys).
+    Output site o is active iff its kernel window covers >= 1 input site —
+    i.e. the strided OR-pool of the input occupancy bitmap.  Scatter-free
+    except (when no input table is given) one V-row bitmap build: TPU
+    scatters run ~10x slower than gathers per row, and the previous
+    candidate-scatter variant paid ~8 scatter rows per input voxel per
+    stage.  The compact sorted coordinate list comes out of the prefix-sum
+    blocks by binary search (rank -> block -> lane), costing O(capacity)
+    fast-window gather rows instead of another candidate scatter.
 
-    Returns (coords_out, mask_out, table, overflow_count).
+    When ``table_in`` covers the input grid (in_shape/batch), occupancy is
+    derived from it elementwise — no scatter at all.
+
+    Returns (coords_out, mask_out, table: PackedTable, overflow_count).
     """
     Do, Ho, Wo = out_shape
-    kz, ky, kx = kernel
-    sz, sy, sx = stride
-    pz, py, px = padding
-
-    def axis_candidates(i, p, k, s, size):
-        # ceil((i+p-k+1)/s) and floor((i+p)/s) via 1-op trunc div on values
-        # offset nonnegative (i >= -1 for padding rows; +k*s keeps both
-        # numerators >= 0 and shifts the quotient by exactly k).
-        v = i + (p + k * s)
-        lo = _div_nonneg(v - k + 1 + (s - 1), s) - k
-        hi = _div_nonneg(v, s) - k
-        lo = jnp.maximum(lo, 0)
-        hi = jnp.minimum(hi, size - 1)
-        n = max(1, -(-k // s))
-        offs = jnp.arange(n, dtype=jnp.int32)
-        cand = lo[:, None] + offs[None, :]
-        ok = cand <= hi[:, None]
-        return cand, ok
-
-    b, z, y, x = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
-    cz, okz = axis_candidates(z, pz, kz, sz, Do)
-    cy, oky = axis_candidates(y, py, ky, sy, Ho)
-    cx, okx = axis_candidates(x, px, kx, sx, Wo)
-
-    zz = cz[:, :, None, None]
-    yy = cy[:, None, :, None]
-    xx = cx[:, None, None, :]
-    ok = (okz[:, :, None, None] & oky[:, None, :, None] & okx[:, None, None, :]
-          & mask[:, None, None, None])
-    bb = jnp.broadcast_to(b[:, None, None, None], ok.shape)
-    flat = ((bb * Do + zz) * Ho + yy) * Wo + xx
     size = batch * Do * Ho * Wo
-    flat = jnp.where(ok, flat, size).reshape(-1)
 
-    bitmap = jnp.zeros((size + 1,), jnp.bool_).at[flat].set(True,
-                                                            mode="drop")[:-1]
-    # Inclusive prefix sum via two-level block scan with an MXU matmul for
-    # the within-block part — XLA's native cumsum lowers to ~log(N) full
-    # passes over the 10M+-element grid, which dominated the encoder.
-    csum = _fast_cumsum_binary(bitmap)
-    total = csum[-1]
-    rank = csum - 1                                   # index among active sites
-    table = jnp.where(bitmap & (rank < capacity), rank, capacity).astype(jnp.int32)
-    # Capacity-sized sorted coordinate list WITHOUT jnp.nonzero (whose
-    # internal cumsum repeats the full-grid scan): every candidate scatters
-    # its flat coord to its site's rank — duplicates write identical values.
-    cand_rank = _wide_table_lookup(csum, jnp.minimum(flat, size - 1)) - 1
-    cand_ok = (flat < size) & (cand_rank >= 0) & (cand_rank < capacity)
-    cand_slot = jnp.where(cand_ok, cand_rank, capacity)
-    flat_idx = jnp.zeros((capacity + 1,), jnp.int32).at[cand_slot].set(
-        flat.astype(jnp.int32), mode="drop")[:-1]
+    if table_in is not None:
+        assert in_shape is not None
+        D, H, W = in_shape
+        assert table_in.size == batch * D * H * W, (table_in.size, in_shape)
+        occ = table_occupancy(table_in)
+    else:
+        assert in_shape is not None, "need in_shape to pool occupancy"
+        D, H, W = in_shape
+        in_size = batch * D * H * W
+        flat_in = _flat_index(coords, mask, (D, H, W), in_size)
+        occ = jnp.zeros((in_size + 1,), jnp.bool_).at[flat_in].set(
+            True, mode="drop")[:-1]
+
+    pooled = jax.lax.reduce_window(
+        occ.reshape(batch, D, H, W).astype(jnp.int8), jnp.int8(0),
+        jax.lax.max,
+        window_dimensions=(1,) + tuple(kernel),
+        window_strides=(1,) + tuple(stride),
+        padding=((0, 0),) + tuple((p, p) for p in padding))
+    assert pooled.shape == (batch, Do, Ho, Wo), (pooled.shape, out_shape)
+    bitmap = pooled.reshape(-1) > 0
+
+    # Two-level block scan: within-block inclusive counts via one MXU
+    # matmul (XLA's native cumsum lowers to ~log N full passes over the
+    # 10M+-element grid), block offsets via a tiny cumsum.
+    block = 512
+    nb = -(-size // block)
+    xpad = jnp.pad(bitmap.astype(jnp.float32), (0, nb * block - size))
+    tri = jnp.tril(jnp.ones((block, block), jnp.float32))
+    within = jax.lax.dot_general(
+        xpad.reshape(nb, block), tri, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (nb, block) incl.
+    block_tot = within[:, -1]
+    boff = (jnp.cumsum(block_tot) - block_tot).astype(jnp.int32)  # exclusive
+    total = (boff[-1] + block_tot[-1].astype(jnp.int32))
+
+    csum = (within + boff[:, None]).reshape(-1)[:size].astype(jnp.int32)
+    rank = csum - 1
+    table1d = jnp.where(bitmap & (rank < capacity), rank,
+                        capacity).astype(jnp.int32)
+    table = _pack_table(table1d, capacity)
+
+    # rank -> flat coord: find each rank's block, then the first lane of
+    # that block whose inclusive count equals the local rank + 1.  Block
+    # lookup is scatter-max of block ids at their start ranks + a cummax
+    # (jnp.searchsorted lowered to a 19 ms while-loop on the timeline; this
+    # is one tiny nb-row scatter + a capacity-length scan).  For empty
+    # blocks sharing a start rank the max block id wins, which is exactly
+    # "last block with boff <= r".
+    ranks = jnp.arange(capacity, dtype=jnp.int32)
+    starts = jnp.zeros((capacity,), jnp.int32).at[boff].max(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")
+    blk = jax.lax.associative_scan(jnp.maximum, starts)
+    blk = jnp.clip(blk, 0, nb - 1)
+    local = ranks - boff[blk]
+    wrows = within.astype(jnp.int16).at[blk].get(
+        mode="promise_in_bounds")                        # (capacity, block)
+    lane = jnp.argmax(wrows == (local + 1)[:, None].astype(jnp.int16),
+                      axis=1).astype(jnp.int32)
+    flat_idx = blk * block + lane
+
     n_out = jnp.minimum(total, capacity)
-    mask_out = jnp.arange(capacity, dtype=jnp.int32) < n_out
+    mask_out = ranks < n_out
     flat_idx = jnp.where(mask_out, flat_idx, 0)
     ob = _div_nonneg(flat_idx, Do * Ho * Wo)
     oz = _rem_nonneg(_div_nonneg(flat_idx, Ho * Wo), Do)
@@ -664,7 +894,7 @@ def downsample_active_set(coords: jnp.ndarray, mask: jnp.ndarray,
     return coords_out, out_mask, overflow
 
 
-def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
+def strided_neighbor_idx(grid_in: SparseGrid, table_in: PackedTable,
                          coords_out: jnp.ndarray, out_mask: jnp.ndarray,
                          kernel: Tuple[int, int, int],
                          stride: Tuple[int, int, int],
@@ -672,6 +902,8 @@ def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
     """(Vout, K) input-row indices for each output site of a strided conv.
 
     Output site o, tap (dz,dy,dx) reads input i = o*s - p + (dz,dy,dx).
+    For kx==3 the three x taps are adjacent input cells, so each (dz, dy)
+    plane costs one window3 gather row (9 rows per site instead of 27).
     """
     D, H, W = grid_in.shape
     V = grid_in.coords.shape[0]
@@ -680,16 +912,35 @@ def strided_neighbor_idx(grid_in: SparseGrid, table_in: jnp.ndarray,
     pz, py, px = padding
 
     b = coords_out[:, 0:1]
-    offs = _tap_offsets(kernel)
+    offs = _tap_offsets((kz, ky, 1))
     nz = coords_out[:, 1:2] * sz - pz + offs[None, :, 0]
     ny = coords_out[:, 2:3] * sy - py + offs[None, :, 1]
-    nx = coords_out[:, 3:4] * sx - px + offs[None, :, 2]
-    ok = (out_mask[:, None] & (nz >= 0) & (nz < D) & (ny >= 0) & (ny < H)
-          & (nx >= 0) & (nx < W))
-    flat = ((b * D + nz) * H + ny) * W + nx
-    flats = jnp.where(ok, flat, 0)
-    nidx = _wide_table_lookup(table_in, flats.reshape(-1)).reshape(flats.shape)
-    return jnp.where(ok, nidx, V).astype(jnp.int32)
+    plane_ok = (out_mask[:, None] & (nz >= 0) & (nz < D)
+                & (ny >= 0) & (ny < H))
+    P = offs.shape[0]
+    Vout = coords_out.shape[0]
+
+    if kx == 3:
+        cx = coords_out[:, 3:4] * sx - px + 1          # middle x tap
+        flat = ((b * D + nz) * H + ny) * W + jnp.clip(cx, 0, W - 1)
+        flat = jnp.clip(jnp.where(plane_ok, flat, 0), 0, table_in.size - 1)
+        left, cent, right = window3_lookup(table_in, flat.reshape(-1))
+        left = jnp.where(plane_ok & (cx - 1 >= 0) & (cx - 1 < W),
+                         left.reshape(Vout, P), V)
+        cent = jnp.where(plane_ok & (cx >= 0) & (cx < W),
+                         cent.reshape(Vout, P), V)
+        right = jnp.where(plane_ok & (cx + 1 >= 0) & (cx + 1 < W),
+                          right.reshape(Vout, P), V)
+        return jnp.stack([left, cent, right], axis=-1).reshape(
+            Vout, P * 3).astype(jnp.int32)
+
+    assert kx == 1, kernel
+    nx = coords_out[:, 3:4] * sx - px
+    ok = plane_ok & (nx >= 0) & (nx < W)
+    flat = ((b * D + nz) * H + ny) * W + jnp.clip(nx, 0, W - 1)
+    flat = jnp.clip(jnp.where(ok, flat, 0), 0, table_in.size - 1)
+    _, cent, _ = window3_lookup(table_in, flat.reshape(-1))
+    return jnp.where(ok, cent.reshape(Vout, P), V).astype(jnp.int32)
 
 
 def to_dense(feats: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:
