@@ -134,3 +134,39 @@ def test_mdcn_sorted_bwd_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a_, np.float32),
                                    np.asarray(b_, np.float32),
                                    atol=5e-2, rtol=5e-2, err_msg=name)
+
+
+def test_fp8_quad_path_matches_quantized_clean_and_grads():
+    """table_dtype='fp8' == the clean formulation run on e4m3-quantized
+    values (quantization is the ONLY numerics change), and gradients flow
+    via the straight-through bf16 backward."""
+    import jax
+    import jax.numpy as jnp
+    from unibev_tpu.ops.deform_conv import (_mdcn_clean,
+                                            modulated_deform_conv2d)
+
+    rng = np.random.RandomState(4)
+    B, H, W, Cin, Cout, K = 2, 9, 11, 8, 16, 9
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.bfloat16)
+    offset = jnp.asarray(rng.randn(B, H, W, 2 * K) * 2.0, jnp.float32)
+    mask = jnp.asarray(rng.rand(B, H, W, K), jnp.bfloat16)
+    weight = jnp.asarray(rng.randn(K * Cin, Cout) * 0.1, jnp.bfloat16)
+
+    got = modulated_deform_conv2d(x, offset, mask, weight, table_dtype="fp8")
+    xq = x.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    want = _mdcn_clean(xq, offset.astype(jnp.float32),
+                       mask.astype(jnp.float32),
+                       weight.astype(jnp.float32), (3, 3), 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.15, rtol=0.1)
+
+    def loss(x, offset, mask, weight):
+        return jnp.sum(modulated_deform_conv2d(
+            x, offset, mask, weight, table_dtype="fp8")
+            .astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(x, offset, mask, weight)
+    for g in grads:
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+        assert float(jnp.max(jnp.abs(g.astype(jnp.float32)))) > 0

@@ -31,7 +31,13 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
                        max_voxels=120000, query_chunk=10000,
                        fusion_method="linear",
                        feature_norm="ChannelNormWeights",
-                       drop_modality=0.5):
+                       drop_modality=0.5,
+                       fp8_tables=False):
+    """fp8_tables: route sparse-conv and DCN im2col through e4m3 quad-packed
+    gather tables (half the gather rows/bytes; value-quantized forward,
+    exact bf16 gradients via STE).  Off by default — see PERF.md for the
+    measured speed/drift trade."""
+    table_dtype = "fp8" if fp8_tables else "bf16"
     dim = DIM
     img_attn = [
         dict(type="MultiScaleDeformableAttention", embed_dims=dim, num_levels=1),
@@ -60,14 +66,16 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
                                                   (64, 64, 128), (128, 128)),
                                 encoder_paddings=((0, 0, 1), (0, 0, 1),
                                                   (0, 0, (0, 1, 1)), (0, 0)),
-                                capacities=(max_voxels, 90000, 60000, 40000)),
+                                capacities=(max_voxels, 90000, 60000, 40000),
+                                table_dtype=table_dtype),
         pts_backbone=dict(in_channels=256, out_channels=(128, 256),
                           layer_nums=(5, 5), layer_strides=(1, 2)),
         pts_neck=dict(in_channels=(128, 256), out_channels=(dim // 2, dim // 2),
                       upsample_strides=(1, 2), use_conv_for_no_stride=True),
         img_backbone=dict(depth=101, num_stages=4, out_indices=(3,),
                           frozen_stages=1, style="caffe", with_cp=True,
-                          dcn=dict(type="DCNv2", deform_groups=1),
+                          dcn=dict(type="DCNv2", deform_groups=1,
+                                   table_dtype=table_dtype),
                           stage_with_dcn=(False, False, True, True)),
         img_neck=dict(in_channels=(2048,), out_channels=dim, num_outs=1,
                       start_level=0, add_extra_convs="on_output",

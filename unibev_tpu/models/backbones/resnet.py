@@ -99,6 +99,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     with_dcn: bool = False
+    dcn_table_dtype: str = "bf16"
     style: str = "caffe"
     dtype: jnp.dtype = jnp.float32
 
@@ -117,6 +118,7 @@ class Bottleneck(nn.Module):
 
         if self.with_dcn:
             out = DeformConv2d(self.planes, stride=conv2_stride,
+                               table_dtype=self.dcn_table_dtype,
                                dtype=self.dtype, name="conv2")(out)
         else:
             out = nn.Conv(self.planes, (3, 3), strides=conv2_stride, padding=1,
@@ -173,6 +175,8 @@ class ResNet(nn.Module):
                                    stride=stride if b == 0 else 1,
                                    downsample=(b == 0),
                                    with_dcn=with_dcn,
+                                   dcn_table_dtype=(self.dcn or {}).get(
+                                       "table_dtype", "bf16"),
                                    style=self.style,
                                    dtype=self.dtype,
                                    name=f"layer{stage + 1}_{b}")

@@ -123,6 +123,7 @@ class UniBEV(nn.Module):
                                        (0, 0)))),
                 capacities=tuple(mcfg.get("capacities",
                                           (120000, 90000, 60000, 40000))),
+                table_dtype=mcfg.get("table_dtype", "bf16"),
                 dtype=self.compute_dtype, name="pts_middle_encoder")
 
         if self.use_radar and self.radar_middle_encoder is not None:
