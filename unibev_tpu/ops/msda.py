@@ -303,16 +303,20 @@ def _slab_level_op_bwd(H, W, res, g):
     u10 = (1 - lx) * ly
     u11 = lx * ly
 
-    # g repeated per point: (BH, Q, D) -tile-> (BH, Q, P*D) == (BH, QP, D)
-    # row-major, so the reshape is layout-free and the minor stays wide.
-    g_rep = jnp.tile(g.astype(value.dtype), (1, 1, P)).reshape(BH, QP, D)
-
-    def cdot(c):
-        """<rows corner c, g> over D -> (BH, QP) f32."""
-        return (rows[..., c * D:(c + 1) * D].astype(jnp.float32)
-                * g_rep.astype(jnp.float32)).sum(-1)
-
-    gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
+    # <rows corner c, g> over D for all (p, c) at once via one batched
+    # contraction over D.  NEVER materialize g repeated per point in
+    # (..., D)-minor form: a tile+reshape of g to (BH, QP, D) is a
+    # reshape-of-broadcast that XLA must materialize, and a D=32 minor pads
+    # 4x under (8,128) tiling — two 625 MB tiles of exactly that OOMed the
+    # flagship train step.  The einsum contracts D away instead; its
+    # (BH, Q, P*4) output is ~40 MB.
+    rows5 = rows.reshape(BH, Q, P * 4, D)
+    gv = jnp.einsum("bqkd,bqd->bqk", rows5.astype(jnp.float32),
+                    g.astype(jnp.float32))                   # (BH, Q, P*4)
+    gv0 = gv[:, :, 0::4].reshape(BH, QP)
+    gv1 = gv[:, :, 1::4].reshape(BH, QP)
+    gv2 = gv[:, :, 2::4].reshape(BH, QP)
+    gv3 = gv[:, :, 3::4].reshape(BH, QP)
     gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
     d_attn = (gs * valid).reshape(BH, Q, P).astype(attn.dtype)
 
@@ -324,13 +328,18 @@ def _slab_level_op_bwd(H, W, res, g):
 
     # d_value: contribution rows (N, 4D) built as ONE concat of fused
     # broadcast-multiplies (never materializing narrow pieces), then a
-    # SORTED scatter-add.
-    gb = g_rep.reshape(BH * QP, D)
+    # SORTED scatter-add.  g enters as a (BH, Q, 1, D) broadcast over P —
+    # a plain broadcast (no reshape) that XLA fuses into the multiplies,
+    # so no (..., D)-minor repeat of g ever hits HBM (see cdot note above).
+    gq = g.astype(value.dtype)[:, :, None, :]                # (BH, Q, 1, D)
+
+    def cpiece(u):
+        w = (u * a).reshape(BH, Q, P, 1).astype(value.dtype)
+        return gq * w                                        # (BH, Q, P, D)
+
     contrib = jnp.concatenate(
-        [gb * (u00 * a).reshape(-1, 1).astype(gb.dtype),
-         gb * (u01 * a).reshape(-1, 1).astype(gb.dtype),
-         gb * (u10 * a).reshape(-1, 1).astype(gb.dtype),
-         gb * (u11 * a).reshape(-1, 1).astype(gb.dtype)], axis=-1)
+        [cpiece(u00), cpiece(u01), cpiece(u10), cpiece(u11)],
+        axis=-1).reshape(BH * QP, 4 * D)
     # accumulate in the VALUE dtype (bf16 matches what plain autodiff of the
     # bf16 forward would do, and halves the scatter's 4KB-per-row traffic).
     # Scatter PER HEAD-GROUP: each target table is then ~10 MB, small enough
