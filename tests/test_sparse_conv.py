@@ -330,3 +330,50 @@ def test_xquad_cols_match_quantized_gather():
     gf, gw = jax.grad(loss_quad, argnums=(0, 1))(fb, w)
     assert np.isfinite(np.asarray(gf, np.float32)).all()
     assert np.isfinite(np.asarray(gw, np.float32)).all()
+
+
+def test_xquad16_cols_match_plain_gather_bitwise():
+    """bf16 x-quad im2col == the 27-narrow-row gather, BITWISE (no value
+    quantization, unlike the fp8 quad), and the conv + grads match the
+    pair path it shares a backward with."""
+    import jax
+    from unibev_tpu.ops.sparse_conv import (make_xpair_plan, make_xquad_plan,
+                                            xquad16_cols, subm_xquad16_conv,
+                                            subm_gather_conv)
+    rng = np.random.RandomState(5)
+    B, D, H, W, Cin, Cout = 2, 6, 12, 12, 8, 8
+    feats, coords, mask = make_sparse(rng, B, D, H, W, Cin, 220, 256)
+    grid = SparseGrid(jnp.array(coords), jnp.array(mask), (D, H, W), B)
+    table = build_table(grid)
+    nidx = subm_neighbor_idx(grid, table)
+    pplan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
+    qplan = make_xquad_plan(nidx, grid, table)
+
+    fb = jnp.asarray(feats, jnp.bfloat16)
+    cols_fast = np.asarray(xquad16_cols(fb, qplan), np.float32)
+    fpad = jnp.concatenate([fb, jnp.zeros((1, Cin), jnp.bfloat16)], 0)
+    cols_ref = np.asarray(jnp.take(fpad, nidx.reshape(-1), axis=0).reshape(
+        256, 27 * Cin), np.float32)
+    cols_ref_x = cols_ref.reshape(256, 9, 3, Cin).transpose(
+        0, 2, 1, 3).reshape(256, 27 * Cin)
+    np.testing.assert_array_equal(cols_fast, cols_ref_x)
+
+    w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
+    out_fast = np.asarray(
+        subm_xquad16_conv(fb, nidx, qplan, pplan, w, grid.mask), np.float32)
+    out_ref = np.asarray(subm_gather_conv(fb, nidx, w, grid.mask), np.float32)
+    np.testing.assert_allclose(out_fast, out_ref, atol=1e-2, rtol=1e-2)
+
+    def loss_fast(f, w_):
+        return (subm_xquad16_conv(f, nidx, qplan, pplan, w_,
+                                  grid.mask) ** 2).sum()
+
+    def loss_ref(f, w_):
+        return (subm_gather_conv(f, nidx, w_, grid.mask) ** 2).sum()
+
+    gf = jax.grad(loss_fast, argnums=(0, 1))(fb, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(fb, w)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=3e-2, rtol=3e-2)

@@ -25,7 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from unibev_tpu.ops.sparse_conv import (SparseGrid, best_gather_conv,
+from unibev_tpu.ops.sparse_conv import (_FAST_GATHER_TABLE_BYTES,
+                                        SparseGrid, best_gather_conv,
                                         build_table, downsample_active_set,
                                         downsample_with_table,
                                         inverse_strided_idx, make_xpair_plan,
@@ -86,6 +87,7 @@ class SubMConvBN(nn.Module):
     out_channels: int
     relu: bool = True
     dtype: jnp.dtype = jnp.float32
+    quad_dtype: str = "fp8"
 
     @nn.compact
     def __call__(self, feats, neighbor_idx, mask, plan=None, qplan=None,
@@ -95,7 +97,8 @@ class SubMConvBN(nn.Module):
         w = self.param("weight", nn.initializers.he_normal(),
                        (K * cin, self.out_channels))
         out = best_gather_conv(feats, neighbor_idx, w, mask, plan=plan,
-                               subm=True, qplan=qplan)
+                               subm=True, qplan=qplan,
+                               quad_dtype=self.quad_dtype)
         out = MaskedBatchNorm(self.out_channels, dtype=self.dtype,
                               name="bn")(out, mask, train=train)
         return nn.relu(out) if self.relu else out
@@ -104,15 +107,18 @@ class SubMConvBN(nn.Module):
 class SparseBasicBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    quad_dtype: str = "fp8"
 
     @nn.compact
     def __call__(self, feats, neighbor_idx, mask, plan=None, qplan=None,
                  *, train: bool = False):
         identity = feats
         out = SubMConvBN(self.channels, relu=True, dtype=self.dtype,
+                         quad_dtype=self.quad_dtype,
                          name="conv1")(feats, neighbor_idx, mask, plan=plan,
                                        qplan=qplan, train=train)
         out = SubMConvBN(self.channels, relu=False, dtype=self.dtype,
+                         quad_dtype=self.quad_dtype,
                          name="conv2")(out, neighbor_idx, mask, plan=plan,
                                        qplan=qplan, train=train)
         return nn.relu(out + identity)
@@ -146,18 +152,30 @@ class SparseEncoder(nn.Module):
         """
         D, H, W = self.sparse_shape
         use_quad = self.table_dtype == "fp8"
+
+        def want_qplan(V, C):
+            # bf16 x-quad is bit-exact and auto-engages while its 4x-feats
+            # table fits the fast gather window — build the plan for any
+            # resolution where it (or the fp8 quad) could dispatch
+            return use_quad or 8 * V * C <= _FAST_GATHER_TABLE_BYTES
+
         grid = SparseGrid(coords, mask, (D, H, W), batch_size)
         table = build_table(grid)
         nidx = subm_neighbor_idx(grid, table)
         # x-pair plan per resolution: tap (0,0,+1) is column 14 of the
         # (dz,dy,dx) row-major 3x3x3 table
         plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
-        qplan = make_xquad_plan(nidx, grid, table) if use_quad else None
+        qplan = (make_xquad_plan(nidx, grid, table)
+                 if want_qplan(nidx.shape[0], self.encoder_channels[0][0])
+                 else None)
 
         # conv_input consumes the raw 5-channel voxel features — keep it
-        # exact (quantizing the inputs themselves is not a table trick)
+        # exact: fp8-quantizing the inputs themselves is not a table trick
+        # (the bit-exact bf16 quad is fine)
         x = SubMConvBN(self.encoder_channels[0][0], dtype=self.dtype,
+                       quad_dtype=self.table_dtype,
                        name="conv_input")(voxel_feats, nidx, mask, plan=plan,
+                                          qplan=None if use_quad else qplan,
                                           train=train)
 
         n_stages = len(self.encoder_channels)
@@ -166,6 +184,7 @@ class SparseEncoder(nn.Module):
             n_basic = len(blocks) - 1 if last_is_down else len(blocks)
             for j in range(n_basic):
                 x = SparseBasicBlock(blocks[j], dtype=self.dtype,
+                                     quad_dtype=self.table_dtype,
                                      name=f"stage{i}_block{j}")(
                     x, nidx, grid.mask, plan=plan, qplan=qplan, train=train)
             if last_is_down:
@@ -185,7 +204,8 @@ class SparseEncoder(nn.Module):
                 splan = make_xpair_plan(sidx, plan.xp1,
                                         grid.coords.shape[0])
                 sqplan = (make_xquad_plan(sidx, grid, table)
-                          if use_quad else None)
+                          if want_qplan(grid.coords.shape[0], x.shape[-1])
+                          else None)
                 # inverse table: d_feats as a gather over OUTPUT rows
                 sinv = inverse_strided_idx(grid.coords, grid.mask, new_table,
                                            (3, 3, 3), (2, 2, 2), pad,
@@ -194,7 +214,7 @@ class SparseEncoder(nn.Module):
                 w = self.param(f"down{i}_weight", nn.initializers.he_normal(),
                                (27 * cin, blocks[-1]))
                 x = best_gather_conv(x, sidx, w, mo, plan=splan, inv_idx=sinv,
-                                     qplan=sqplan)
+                                     qplan=sqplan, quad_dtype=self.table_dtype)
                 x = MaskedBatchNorm(blocks[-1], dtype=self.dtype,
                                     name=f"down{i}_bn")(x, mo, train=train)
                 x = nn.relu(x)
@@ -203,7 +223,9 @@ class SparseEncoder(nn.Module):
                 nidx = subm_neighbor_idx(grid, table)
                 plan = make_xpair_plan(nidx, nidx[:, 14], nidx.shape[0])
                 qplan = (make_xquad_plan(nidx, grid, table)
-                         if use_quad else None)
+                         if want_qplan(nidx.shape[0],
+                                       self.encoder_channels[i + 1][0])
+                         else None)
 
         # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z only.
         out_shape = ((grid.shape[0] - 3) // 2 + 1, grid.shape[1], grid.shape[2])

@@ -464,6 +464,98 @@ def xquad_cols(feats: jnp.ndarray, plan: XQuadPlan) -> jnp.ndarray:
     return b2f(packed)                           # (Vout, 3*P*Cin)
 
 
+def _pack_bf16_triple(feats: jnp.ndarray, xp1, xp2) -> jnp.ndarray:
+    """(V+1, 2C) s32 table: lanes [0,C) = pack(f[x], f[x+1]), lanes [C,2C)
+    = pack(f[x+2], 0).  4x the feats bytes (vs 2x for the pair table), but
+    ONE anchor row per 3-tap x-window — half the pair path's gather rows,
+    bit-exact bf16 values (unlike the e4m3 fp8 triple)."""
+    V, C = feats.shape
+    fpad = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
+    fp1 = fpad.at[xp1].get(mode="promise_in_bounds")
+    fp2 = fpad.at[xp2].get(mode="promise_in_bounds")
+    a = _pack_pairs_s32(feats, fp1)
+    b = _pack_pairs_s32(fp2, jnp.zeros_like(fp2))
+    tab = jnp.concatenate([a, b], axis=-1)
+    return jnp.concatenate([tab, jnp.zeros((1, 2 * C), jnp.int32)], axis=0)
+
+
+def xquad16_cols(feats: jnp.ndarray, plan: XQuadPlan) -> jnp.ndarray:
+    """im2col columns (Vout, K*Cin) in xpair_cols' x-major order via the
+    bf16 triple-packed single-anchor gather (same plan as the fp8 quad;
+    same case algebra, s32-pair unpacks instead of byte shifts)."""
+    V, Cin = feats.shape
+    Vout, P = plan.anchor.shape
+    tab = _pack_bf16_triple(feats, plan.xp1, plan.xp2)
+    rows = tab.at[plan.anchor.reshape(-1)].get(
+        mode="promise_in_bounds").reshape(Vout, P, 2 * Cin)
+    A = rows[..., :Cin].reshape(Vout, P * Cin)      # pack(f0, f1)
+    B = rows[..., Cin:].reshape(Vout, P * Cin)      # pack(f2, 0)
+    alo = _unpack_lo(A).astype(feats.dtype)
+    ahi = _unpack_hi(A).astype(feats.dtype)
+    blo = _unpack_lo(B).astype(feats.dtype)
+    m0 = jnp.broadcast_to((plan.case == 0)[:, :, None],
+                          (Vout, P, Cin)).reshape(Vout, P * Cin)
+    m1 = jnp.broadcast_to((plan.case == 1)[:, :, None],
+                          (Vout, P, Cin)).reshape(Vout, P * Cin)
+    zero = jnp.zeros_like(alo)
+    tl = jnp.where(m0, alo, zero)
+    tm = jnp.where(m0, ahi, jnp.where(m1, alo, zero))
+    tr = jnp.where(m0, blo, jnp.where(m1, ahi, alo))
+    return jnp.concatenate([tl, tm, tr], axis=-1)   # (Vout, 3*P*Cin)
+
+
+@jax.custom_vjp
+def subm_xquad16_conv(feats, neighbor_idx, qplan, pplan, weight, out_mask):
+    """Submanifold conv with the bf16 x-quad forward (bit-exact values);
+    backward through the x-pair path like subm_xpair_conv."""
+    cols = xquad16_cols(feats, qplan)
+    w = xpair_weight(weight, qplan.anchor.shape[1], feats.shape[1])
+    out = jnp.dot(cols, w.astype(feats.dtype),
+                  preferred_element_type=jnp.float32).astype(feats.dtype)
+    return jnp.where(out_mask[:, None], out, 0.0)
+
+
+def _subm_xq16_fwd(feats, neighbor_idx, qplan, pplan, weight, out_mask):
+    return subm_xquad16_conv(feats, neighbor_idx, qplan, pplan, weight,
+                             out_mask), \
+        (feats, neighbor_idx, pplan, weight, out_mask)
+
+
+def _subm_xq16_bwd(res, g):
+    d_feats, _, _, d_weight, _ = _subm_xp_bwd(res, g)
+    return d_feats, None, None, None, d_weight, None
+
+
+subm_xquad16_conv.defvjp(_subm_xq16_fwd, _subm_xq16_bwd)
+
+
+@jax.custom_vjp
+def strided_xquad16_conv(feats, neighbor_idx, qplan, pplan, inv_idx, weight,
+                         out_mask):
+    """Strided conv with the bf16 x-quad forward; backward through the
+    x-pair / inverse-table path like strided_xpair_conv."""
+    cols = xquad16_cols(feats, qplan)
+    w = xpair_weight(weight, qplan.anchor.shape[1], feats.shape[1])
+    out = jnp.dot(cols, w.astype(feats.dtype),
+                  preferred_element_type=jnp.float32).astype(feats.dtype)
+    return jnp.where(out_mask[:, None], out, 0.0)
+
+
+def _strided_xq16_fwd(feats, neighbor_idx, qplan, pplan, inv_idx, weight,
+                      out_mask):
+    return strided_xquad16_conv(feats, neighbor_idx, qplan, pplan, inv_idx,
+                                weight, out_mask), \
+        (feats, neighbor_idx, pplan, inv_idx, weight, out_mask)
+
+
+def _strided_xq16_bwd(res, g):
+    d_feats, _, _, _, d_weight, _ = _strided_xp_bwd(res, g)
+    return d_feats, None, None, None, None, d_weight, None
+
+
+strided_xquad16_conv.defvjp(_strided_xq16_fwd, _strided_xq16_bwd)
+
+
 @jax.custom_vjp
 def subm_xquad_conv(feats, neighbor_idx, qplan, pplan, weight, out_mask):
     """Submanifold conv with the fp8 x-quad forward; gradients flow through
@@ -689,30 +781,42 @@ _FAST_GATHER_TABLE_BYTES = 20e6
 
 
 def best_gather_conv(feats, neighbor_idx, weight, out_mask, plan=None,
-                     subm=False, inv_idx=None, qplan=None):
-    """Dispatch: fp8 x-quad when a quad plan exists (half the gather rows,
-    value-quantized — config-gated); else the x-pair fast path when a pair
-    plan exists, feats are bf16, and the pair table fits the fast gather
-    window (stage 3's 20.5 MB table measured SLOWER through x-pair than the
-    plain 27-row gather).  For strided convs, inv_idx routes the backward
-    through the inverse-table gather instead of a scatter."""
+                     subm=False, inv_idx=None, qplan=None,
+                     quad_dtype="fp8"):
+    """Dispatch: x-quad when a quad plan exists (half the gather rows) —
+    fp8 (value-quantized, config-gated) at the pair-table window, or bf16
+    (bit-exact) while its 4x-feats table still fits the fast window; else
+    the x-pair fast path when a pair plan exists, feats are bf16, and the
+    pair table fits the window (stage 3's 20.5 MB table measured SLOWER
+    through x-pair than the plain 27-row gather).  For strided convs,
+    inv_idx routes the backward through the inverse-table gather instead
+    of a scatter."""
     pack_bytes = feats.shape[0] * feats.shape[1] * 4
     in_window = pack_bytes <= _FAST_GATHER_TABLE_BYTES
-    use_quad = (qplan is not None and plan is not None
-                and feats.dtype == jnp.bfloat16 and in_window
+    quadable = (qplan is not None and plan is not None
+                and feats.dtype == jnp.bfloat16
                 and neighbor_idx.shape[1] % 3 == 0)
+    use_quad8 = quadable and quad_dtype == "fp8" and in_window
+    use_quad16 = (quadable and not use_quad8
+                  and 2 * pack_bytes <= _FAST_GATHER_TABLE_BYTES)
     use_pair = (plan is not None and feats.dtype == jnp.bfloat16
                 and in_window and neighbor_idx.shape[1] % 3 == 0)
     if subm:
-        if use_quad:
+        if use_quad8:
             return subm_xquad_conv(feats, neighbor_idx, qplan, plan, weight,
                                    out_mask)
+        if use_quad16:
+            return subm_xquad16_conv(feats, neighbor_idx, qplan, plan,
+                                     weight, out_mask)
         if use_pair:
             return subm_xpair_conv(feats, neighbor_idx, plan, weight, out_mask)
         return subm_gather_conv(feats, neighbor_idx, weight, out_mask)
-    if use_quad and inv_idx is not None:
+    if use_quad8 and inv_idx is not None:
         return strided_xquad_conv(feats, neighbor_idx, qplan, plan, inv_idx,
                                   weight, out_mask)
+    if use_quad16 and inv_idx is not None:
+        return strided_xquad16_conv(feats, neighbor_idx, qplan, plan,
+                                    inv_idx, weight, out_mask)
     if use_pair or inv_idx is not None:
         return strided_xpair_conv(feats, neighbor_idx,
                                   plan if use_pair else None, inv_idx,
