@@ -15,11 +15,13 @@ bilinear-gather op from unibev_tpu.ops.deform_conv.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from unibev_tpu.ops.deform_conv import modulated_deform_conv2d
 from unibev_tpu.registry import BACKBONES
@@ -87,11 +89,16 @@ class DeformConv2d(nn.Module):
         weight = self.param("weight",
                             nn.initializers.he_normal(),
                             (K * cin, self.features))
-        return modulated_deform_conv2d(
+        out = modulated_deform_conv2d(
             x, offset, mask, weight, bias=None,
             kernel_size=(self.kernel_size, self.kernel_size),
             stride=self.stride, padding=self.dilation, dilation=self.dilation,
             table_dtype=self.table_dtype)
+        # named for the block remat policy: saving the DCN output (17.8 MB
+        # at stage 3) lets the backward's remat recompute skip the whole
+        # deformable gather+lerp+matmul forward (~3 ms/block) at ~430 MB
+        # total — affordable, unlike saving full block activations.
+        return checkpoint_name(out, "dcn_out")
 
 
 class Bottleneck(nn.Module):
@@ -184,9 +191,21 @@ class ResNet(nn.Module):
                 # the 16x/32x DCN stages to avoid ~45 ms of backward
                 # re-gathers was tried and OOMs by 1.3 GB (the saved
                 # activations coexist with the DCN backward's 640 MB
-                # contribution buffers).
+                # contribution buffers).  UNIBEV_DCN_SAVE=1 instead keeps
+                # just the named DCN outputs (~430 MB) so the remat
+                # recompute skips the expensive deformable forward
+                # (~3 ms/block) while everything else is rematerialized —
+                # opt-in until its HBM headroom and compile time are
+                # measured on the real chip (a TPU-relay outage blocked
+                # that measurement in round 3).
                 if self.with_cp:
-                    x = nn.remat(lambda mdl, y: mdl(y))(block, x)
+                    if os.environ.get("UNIBEV_DCN_SAVE", "0") == "1":
+                        x = nn.remat(
+                            lambda mdl, y: mdl(y),
+                            policy=jax.checkpoint_policies
+                            .save_only_these_names("dcn_out"))(block, x)
+                    else:
+                        x = nn.remat(lambda mdl, y: mdl(y))(block, x)
                 else:
                     x = block(x)
             if stage in self.out_indices:
