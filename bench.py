@@ -154,20 +154,33 @@ def main():
             or args.headline_only or args.modality != "LC")
     if not fast:
         # Self-contained driver artifact (VERDICT r2 #6): per-modality +
-        # train + MFU in the same line.  Each extra is best-effort — a
-        # failure or OOM in one never loses the headline number.
+        # train + MFU in the same line.  Each extra runs in its OWN
+        # subprocess under a hard timeout: a hung compile or an OOM in one
+        # extra never loses the headline number or the driver's budget
+        # (an in-process XLA compile cannot be interrupted; killing the
+        # whole bench mid-compile can wedge the axon relay for an hour).
+        import subprocess
+
+        budget = int(os.environ.get("UNIBEV_BENCH_EXTRA_TIMEOUT", "1500"))
+
+        def sub_bench(extra_args):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + extra_args,
+                capture_output=True, text=True, timeout=budget)
+            line = p.stdout.strip().splitlines()[-1]
+            return json.loads(line)
+
         for key, modality in (("L_ms", "L"), ("C_ms", "C")):
             try:
-                rec[key] = round(bench_inference(modality, args.batch,
-                                                 n_iters=5, n_rounds=2) * 1e3,
-                                 1)
+                sub = sub_bench(["--modality", modality])
+                rec[key] = sub["ms_per_sample"]
             except Exception as e:   # pragma: no cover
                 rec[key] = f"failed: {type(e).__name__}"
         try:
-            s, tflop, mfu = bench_train_step(args.batch)
-            rec["train_s"] = round(s, 3)
-            rec["step_tflop"] = round(tflop, 2) if tflop else None
-            rec["mfu"] = round(mfu, 4) if mfu else None
+            sub = sub_bench(["--train"])
+            rec["train_s"] = sub["value"]
+            rec["step_tflop"] = sub.get("step_tflop")
+            rec["mfu"] = sub.get("mfu")
         except Exception as e:       # pragma: no cover
             rec["train_s"] = f"failed: {type(e).__name__}"
 

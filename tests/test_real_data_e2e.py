@@ -150,8 +150,12 @@ def tree(tmp_path_factory):
     return root, cfg_path
 
 
-def _run(args, timeout=1500):
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu",
+def _run(args, timeout=2400):
+    # JAX_PLATFORMS (not the deprecated JAX_PLATFORM_NAME) — the agent env
+    # exports JAX_PLATFORMS=axon, which outranks JAX_PLATFORM_NAME, so the
+    # subprocess was silently claiming the real TPU through the relay (and
+    # hanging whenever the relay was down).
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
     return subprocess.run(args, capture_output=True, text=True, env=env,
                           timeout=timeout)

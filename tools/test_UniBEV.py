@@ -13,6 +13,20 @@ import sys
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+# Persistent compilation cache: repeated CLI invocations (and the e2e test
+# suite's subprocesses) re-compile identical graphs otherwise — minutes per
+# run through the axon tunnel or on the 1-core CPU host.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("UNIBEV_COMPILE_CACHE",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Test UniBEV (TPU)")
