@@ -18,6 +18,18 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 # run through the axon tunnel or on the 1-core CPU host.
 import jax  # noqa: E402
 
+# Honor JAX_PLATFORMS from the environment via jax.config: the axon
+# sitecustomize imports jax and registers the TPU backend before any user
+# code runs, so the env var alone cannot select CPU here (same trap
+# tests/conftest.py documents) — a subprocess launched with
+# JAX_PLATFORMS=cpu would silently fall through to the TPU relay.
+_plats = os.environ.get("JAX_PLATFORMS")
+if _plats:
+    try:
+        jax.config.update("jax_platforms", _plats)
+    except Exception:
+        pass
+
 try:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("UNIBEV_COMPILE_CACHE",
