@@ -328,7 +328,12 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     v4 = jnp.concatenate(
         [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
         axis=-1).reshape(B, TR, 4 * Cin)
-    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)
+    # per-camera gathers keep each source table (~12 MB at stage 3) inside
+    # the ~20 MB fast gather window; one batched take_along_axis over all
+    # cameras reads a ~73 MB table at the slow-window rate instead
+    rows = jnp.concatenate(
+        [v4[b].at[idx[b]].get(mode="promise_in_bounds") for b in range(B)],
+        axis=0)
     M = B * N * K
     rows = rows.reshape(M, 4 * Cin).astype(x.dtype)   # wide minor, bf16
 

@@ -295,7 +295,23 @@ def _slab_level_op_bwd(H, W, res, g):
     v4 = jnp.concatenate(
         [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
         axis=-1).reshape(BH, TR, 4 * D)
-    rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)      # (BH,QP,4D)
+    # re-gather the corner rows with the SAME per-head-group fast-window
+    # gather as the forward: a batched take_along_axis over all BH heads is
+    # one gather from an ~80 MB table (~3x the slow-window rate — traced
+    # 24.5 vs 16.1 ms at the ptsSCA shape); grouped <=20 MB tables stay at
+    # the engine's fast rate.
+    bytes_per_head_g = TR * 4 * D * value.dtype.itemsize
+    Gg = max(1, min(BH, int(20e6 // max(bytes_per_head_g, 1))))
+    while BH % Gg:
+        Gg -= 1
+    offs_g = (jnp.arange(Gg, dtype=jnp.int32) * TR)[:, None]
+    row_parts = []
+    for hg in range(0, BH, Gg):
+        tab = v4[hg:hg + Gg].reshape(Gg * TR, 4 * D)
+        fidx = (idx[hg:hg + Gg] + offs_g).reshape(-1)
+        row_parts.append(tab.at[fidx].get(mode="promise_in_bounds"))
+    rows = (jnp.concatenate(row_parts, axis=0) if len(row_parts) > 1
+            else row_parts[0]).reshape(BH, QP, 4 * D)
 
     a = attn.astype(jnp.float32).reshape(BH, QP) * valid
     u00 = (1 - lx) * (1 - ly)
@@ -303,20 +319,22 @@ def _slab_level_op_bwd(H, W, res, g):
     u10 = (1 - lx) * ly
     u11 = lx * ly
 
-    # <rows corner c, g> over D for all (p, c) at once via one batched
-    # contraction over D.  NEVER materialize g repeated per point in
+    # <rows corner c, g> over D.  NEVER materialize g repeated per point in
     # (..., D)-minor form: a tile+reshape of g to (BH, QP, D) is a
     # reshape-of-broadcast that XLA must materialize, and a D=32 minor pads
     # 4x under (8,128) tiling — two 625 MB tiles of exactly that OOMed the
-    # flagship train step.  The einsum contracts D away instead; its
-    # (BH, Q, P*4) output is ~40 MB.
-    rows5 = rows.reshape(BH, Q, P * 4, D)
-    gv = jnp.einsum("bqkd,bqd->bqk", rows5.astype(jnp.float32),
-                    g.astype(jnp.float32))                   # (BH, Q, P*4)
-    gv0 = gv[:, :, 0::4].reshape(BH, QP)
-    gv1 = gv[:, :, 1::4].reshape(BH, QP)
-    gv2 = gv[:, :, 2::4].reshape(BH, QP)
-    gv3 = gv[:, :, 3::4].reshape(BH, QP)
+    # flagship train step.  g enters as a (BH, Q, 1, D) broadcast over the
+    # point axis instead: XLA fuses it into one multi-output pass over the
+    # rows (an einsum bqkd,bqd->bqk variant traced 3x slower — the 2-batch-
+    # dim dot_general lowers to padded 32x32 matvecs).
+    rows4 = rows.reshape(BH, Q, P, 4 * D)
+    g4 = g.astype(jnp.float32)[:, :, None, :]                # (BH, Q, 1, D)
+
+    def cdot(c):
+        return (rows4[..., c * D:(c + 1) * D].astype(jnp.float32)
+                * g4).sum(-1).reshape(BH, QP)
+
+    gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
     gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
     d_attn = (gs * valid).reshape(BH, Q, P).astype(attn.dtype)
 
