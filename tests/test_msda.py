@@ -161,3 +161,33 @@ def test_slab_custom_bwd_bf16_finite_and_close():
     gv, gl, ga = jax.grad(f, argnums=(0, 1, 2))(value, loc, attn)
     for t in (gv, gl, ga):
         assert np.isfinite(np.asarray(t, np.float32)).all()
+
+
+def test_slab_custom_bwd_chunked_matches_autodiff(monkeypatch):
+    """Force the Q-chunked backward (>=3 chunks) and check it still equals
+    autodiff of the clean slab formulation — the chunk seams must not shift
+    geometry, scatter accumulation, or the d_attn/d_loc reassembly."""
+    import jax
+    import unibev_tpu.ops.msda as msda
+
+    rng = np.random.RandomState(7)
+    BH, H, W, D, Q, P = 3, 7, 9, 8, 23, 4
+    # budget that yields qc ~ ceil(23/3): row_bytes_per_q = BH*P*4D*4
+    monkeypatch.setattr(msda, "BWD_CHUNK_BYTES",
+                        float(8 * BH * P * 4 * D * 4))
+    value = rng.randn(BH, H * W, D).astype(np.float32)
+    loc = (rng.rand(BH, Q, P, 2) * 1.4 - 0.2).astype(np.float32)
+    attn = rng.rand(BH, Q, P).astype(np.float32)
+    g = rng.randn(BH, Q, D).astype(np.float32)
+
+    def f_custom(v, l, a):
+        return (msda._slab_level_op(H, W, v, l, a) * g).sum()
+
+    def f_ref(v, l, a):
+        return (msda._slab_level(v, H, W, l, a) * g).sum()
+
+    gc = jax.grad(f_custom, argnums=(0, 1, 2))(value, loc, attn)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(value, loc, attn)
+    for name, a_, b_ in zip(("d_value", "d_loc", "d_attn"), gc, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)

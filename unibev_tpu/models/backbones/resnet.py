@@ -191,15 +191,14 @@ class ResNet(nn.Module):
                 # the 16x/32x DCN stages to avoid ~45 ms of backward
                 # re-gathers was tried and OOMs by 1.3 GB (the saved
                 # activations coexist with the DCN backward's 640 MB
-                # contribution buffers).  UNIBEV_DCN_SAVE=1 instead keeps
-                # just the named DCN outputs (~430 MB) so the remat
-                # recompute skips the expensive deformable forward
-                # (~3 ms/block) while everything else is rematerialized —
-                # opt-in until its HBM headroom and compile time are
-                # measured on the real chip (a TPU-relay outage blocked
-                # that measurement in round 3).
+                # contribution buffers).  UNIBEV_DCN_SAVE (default ON)
+                # instead keeps just the named DCN outputs (~430 MB) so the
+                # remat recompute skips the expensive deformable forward
+                # while everything else is rematerialized — measured on-chip
+                # 2.438 vs 2.524 s/step, fits HBM alongside the Q-chunked
+                # MSDA backward.  Set UNIBEV_DCN_SAVE=0 if HBM is tight.
                 if self.with_cp:
-                    if os.environ.get("UNIBEV_DCN_SAVE", "0") == "1":
+                    if os.environ.get("UNIBEV_DCN_SAVE", "1") == "1":
                         x = nn.remat(
                             lambda mdl, y: mdl(y),
                             policy=jax.checkpoint_policies

@@ -48,6 +48,11 @@ ONEHOT_MAX_VALUE = 2048
 # exploit the hint): tsa 46.7 vs 36.3 ms, scaimg 158.5 vs 118.6 ms.
 SORT_SCATTER = False
 
+# Live-buffer budget for the chunked slab backward: the re-gathered corner
+# rows and the scatter contributions are (BH, Qc*P, 4D) per chunk, sized to
+# stay near this many bytes (tests shrink it to force multi-chunk coverage).
+BWD_CHUNK_BYTES = 128e6
+
 
 def _prep_bh(value, sampling_locations, attention_weights):
     """Fold heads into batch: (B,V,H,D),(B,Q,H,L,P,2),(B,Q,H,L,P) -> per-BH."""
@@ -267,119 +272,151 @@ def _slab_level_op_fwd(H, W, value, loc, attn):
 
 def _slab_level_op_bwd(H, W, res, g):
     """Wide-layout discipline throughout: all big intermediates are either
-    (BH, QP) 2D or (BH, QP, 4D=128-lane) — per-corner stacks/5D reshapes
+    (BH, QPc) 2D or (BH, QPc, 4D=128-lane) — per-corner stacks/5D reshapes
     with <128-lane minors pad 4-32x under TPU tiling and OOMed the flagship
-    train step when this backward was first written naively."""
+    train step when this backward was first written naively.
+
+    The whole backward is CHUNKED over Q: the re-gathered corner rows and
+    the scatter contribution buffer are (BH, Qc*P, 4D) per chunk, bounded
+    to ~128 MB.  Unchunked, the TSA/ptsSCA backwards held ~1.5 GB of these
+    concurrently (plus XLA's narrow per-corner fusion outputs padding 4x)
+    and pushed the flagship train step 134 MB past HBM.
+    """
     value, loc, attn = res
     BH, _, D = value.shape
     Q, P = loc.shape[1], loc.shape[2]
-    QP = Q * P
     TR = (H + 1) * (W + 1)
 
-    # ---- geometry, all (BH, QP)
-    x = (loc[..., 0] * W - 0.5).reshape(BH, QP)
-    y = (loc[..., 1] * H - 0.5).reshape(BH, QP)
-    valid = ((x > -1.0) & (x < W) & (y > -1.0) & (y < H)).astype(jnp.float32)
-    xp = x + 1.0
-    yp = y + 1.0
-    x0 = jnp.floor(xp)
-    y0 = jnp.floor(yp)
-    lx = (xp - x0).astype(jnp.float32)
-    ly = (yp - y0).astype(jnp.float32)
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
-    idx = y0c * (W + 1) + x0c                                    # (BH, QP)
-
+    # corner-packed table, built ONCE (shared by every chunk)
     v = value.reshape(BH, H, W, D)
     v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
     v4 = jnp.concatenate(
         [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
         axis=-1).reshape(BH, TR, 4 * D)
-    # re-gather the corner rows with the SAME per-head-group fast-window
-    # gather as the forward: a batched take_along_axis over all BH heads is
-    # one gather from an ~80 MB table (~3x the slow-window rate — traced
-    # 24.5 vs 16.1 ms at the ptsSCA shape); grouped <=20 MB tables stay at
-    # the engine's fast rate.
-    bytes_per_head_g = TR * 4 * D * value.dtype.itemsize
-    Gg = max(1, min(BH, int(20e6 // max(bytes_per_head_g, 1))))
+
+    row_bytes_per_q = BH * P * 4 * D * value.dtype.itemsize
+    qc = max(1, int(BWD_CHUNK_BYTES // max(row_bytes_per_q, 1)))
+    n_chunks = max(1, -(-Q // qc))
+    qc = -(-Q // n_chunks)
+
+    # head-group sizes for the fast-window re-gather (<=20 MB tables) and
+    # the on-chip scatter targets (<=12 MB)
+    bytes_per_head = TR * 4 * D * value.dtype.itemsize
+    Gg = max(1, min(BH, int(20e6 // max(bytes_per_head, 1))))
     while BH % Gg:
         Gg -= 1
     offs_g = (jnp.arange(Gg, dtype=jnp.int32) * TR)[:, None]
-    row_parts = []
-    for hg in range(0, BH, Gg):
-        tab = v4[hg:hg + Gg].reshape(Gg * TR, 4 * D)
-        fidx = (idx[hg:hg + Gg] + offs_g).reshape(-1)
-        row_parts.append(tab.at[fidx].get(mode="promise_in_bounds"))
-    rows = (jnp.concatenate(row_parts, axis=0) if len(row_parts) > 1
-            else row_parts[0]).reshape(BH, QP, 4 * D)
+    Gs = max(1, min(BH, int(12e6 // max(bytes_per_head, 1))))
+    while BH % Gs:
+        Gs -= 1
+    offs_s = (jnp.arange(Gs, dtype=jnp.int32) * TR)[:, None]
 
-    a = attn.astype(jnp.float32).reshape(BH, QP) * valid
-    u00 = (1 - lx) * (1 - ly)
-    u01 = lx * (1 - ly)
-    u10 = (1 - lx) * ly
-    u11 = lx * ly
+    d_v4 = None
+    d_attn_parts, d_loc_parts = [], []
+    for q0 in range(0, Q, qc):
+        q1 = min(Q, q0 + qc)
+        Qc = q1 - q0
+        QP = Qc * P
 
-    # <rows corner c, g> over D.  NEVER materialize g repeated per point in
-    # (..., D)-minor form: a tile+reshape of g to (BH, QP, D) is a
-    # reshape-of-broadcast that XLA must materialize, and a D=32 minor pads
-    # 4x under (8,128) tiling — two 625 MB tiles of exactly that OOMed the
-    # flagship train step.  g enters as a (BH, Q, 1, D) broadcast over the
-    # point axis instead: XLA fuses it into one multi-output pass over the
-    # rows (an einsum bqkd,bqd->bqk variant traced 3x slower — the 2-batch-
-    # dim dot_general lowers to padded 32x32 matvecs).
-    rows4 = rows.reshape(BH, Q, P, 4 * D)
-    g4 = g.astype(jnp.float32)[:, :, None, :]                # (BH, Q, 1, D)
+        # ---- geometry, all (BH, QP)
+        loc_c = loc[:, q0:q1]
+        x = (loc_c[..., 0] * W - 0.5).reshape(BH, QP)
+        y = (loc_c[..., 1] * H - 0.5).reshape(BH, QP)
+        valid = ((x > -1.0) & (x < W)
+                 & (y > -1.0) & (y < H)).astype(jnp.float32)
+        xp = x + 1.0
+        yp = y + 1.0
+        x0 = jnp.floor(xp)
+        y0 = jnp.floor(yp)
+        lx = (xp - x0).astype(jnp.float32)
+        ly = (yp - y0).astype(jnp.float32)
+        x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+        y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+        idx = y0c * (W + 1) + x0c                                # (BH, QP)
 
-    def cdot(c):
-        return (rows4[..., c * D:(c + 1) * D].astype(jnp.float32)
-                * g4).sum(-1).reshape(BH, QP)
+        # re-gather the corner rows with the SAME per-head-group fast-window
+        # gather as the forward: a batched take_along_axis over all BH heads
+        # is one gather from an ~80 MB table (~3x the slow-window rate —
+        # traced 24.5 vs 16.1 ms at the ptsSCA shape); grouped <=20 MB
+        # tables stay at the engine's fast rate.
+        row_parts = []
+        for hg in range(0, BH, Gg):
+            tab = v4[hg:hg + Gg].reshape(Gg * TR, 4 * D)
+            fidx = (idx[hg:hg + Gg] + offs_g).reshape(-1)
+            row_parts.append(tab.at[fidx].get(mode="promise_in_bounds"))
+        rows = (jnp.concatenate(row_parts, axis=0) if len(row_parts) > 1
+                else row_parts[0]).reshape(BH, QP, 4 * D)
 
-    gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
-    gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
-    d_attn = (gs * valid).reshape(BH, Q, P).astype(attn.dtype)
+        a = attn[:, q0:q1].astype(jnp.float32).reshape(BH, QP) * valid
+        u00 = (1 - lx) * (1 - ly)
+        u01 = lx * (1 - ly)
+        u10 = (1 - lx) * ly
+        u11 = lx * ly
 
-    dx = ((gv1 - gv0) * (1 - ly) + (gv3 - gv2) * ly) * a
-    dy = ((gv2 - gv0) * (1 - lx) + (gv3 - gv1) * lx) * a
-    d_loc = jnp.stack([(dx * W).reshape(BH, Q, P),
-                       (dy * H).reshape(BH, Q, P)],
-                      axis=-1).astype(loc.dtype)
+        # <rows corner c, g> over D.  NEVER materialize g repeated per point
+        # in (..., D)-minor form: a tile+reshape of g to (BH, QP, D) is a
+        # reshape-of-broadcast that XLA must materialize, and a D=32 minor
+        # pads 4x under (8,128) tiling — two 625 MB tiles of exactly that
+        # OOMed the flagship train step.  g enters as a (BH, Qc, 1, D)
+        # broadcast over the point axis instead: XLA fuses it into one
+        # multi-output pass over the rows (an einsum bqkd,bqd->bqk variant
+        # traced 3x slower — the 2-batch-dim dot_general lowers to padded
+        # 32x32 matvecs).
+        rows4 = rows.reshape(BH, Qc, P, 4 * D)
+        g_c = g[:, q0:q1]
+        g4 = g_c.astype(jnp.float32)[:, :, None, :]          # (BH, Qc, 1, D)
 
-    # d_value: contribution rows (N, 4D) built as ONE concat of fused
-    # broadcast-multiplies (never materializing narrow pieces), then a
-    # SORTED scatter-add.  g enters as a (BH, Q, 1, D) broadcast over P —
-    # a plain broadcast (no reshape) that XLA fuses into the multiplies,
-    # so no (..., D)-minor repeat of g ever hits HBM (see cdot note above).
-    gq = g.astype(value.dtype)[:, :, None, :]                # (BH, Q, 1, D)
+        def cdot(c):
+            return (rows4[..., c * D:(c + 1) * D].astype(jnp.float32)
+                    * g4).sum(-1).reshape(BH, QP)
 
-    def cpiece(u):
-        w = (u * a).reshape(BH, Q, P, 1).astype(value.dtype)
-        return gq * w                                        # (BH, Q, P, D)
+        gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
+        gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
+        d_attn_parts.append((gs * valid).reshape(BH, Qc, P).astype(attn.dtype))
 
-    contrib = jnp.concatenate(
-        [cpiece(u00), cpiece(u01), cpiece(u10), cpiece(u11)],
-        axis=-1).reshape(BH * QP, 4 * D)
-    # accumulate in the VALUE dtype (bf16 matches what plain autodiff of the
-    # bf16 forward would do, and halves the scatter's 4KB-per-row traffic).
-    # Scatter PER HEAD-GROUP: each target table is then ~10 MB, small enough
-    # for the read-modify-write to stay on-chip.
-    contrib_b = contrib.astype(value.dtype).reshape(BH, QP, 4 * D)
-    bytes_per_head = TR * 4 * D * value.dtype.itemsize
-    G = max(1, min(BH, int(12e6 // max(bytes_per_head, 1))))
-    while BH % G:
-        G -= 1
-    offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]
-    parts = []
-    for g in range(0, BH, G):
-        k = (idx[g:g + G] + offs).reshape(-1)
-        c = contrib_b[g:g + G].reshape(-1, 4 * D)
-        if SORT_SCATTER:
-            order = jnp.argsort(k)
-            part = jnp.zeros((G * TR, 4 * D), value.dtype).at[k[order]].add(
-                c[order], indices_are_sorted=True)
-        else:
-            part = jnp.zeros((G * TR, 4 * D), value.dtype).at[k].add(c)
-        parts.append(part)
-    d_v4 = (jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0])
+        dx = ((gv1 - gv0) * (1 - ly) + (gv3 - gv2) * ly) * a
+        dy = ((gv2 - gv0) * (1 - lx) + (gv3 - gv1) * lx) * a
+        d_loc_parts.append(jnp.stack([(dx * W).reshape(BH, Qc, P),
+                                      (dy * H).reshape(BH, Qc, P)],
+                                     axis=-1).astype(loc.dtype))
+
+        # d_value: contribution rows (N, 4D) built as ONE concat of fused
+        # broadcast-multiplies (never materializing narrow pieces), then a
+        # SORTED scatter-add.  g enters as a (BH, Qc, 1, D) broadcast over
+        # P — a plain broadcast (no reshape) that XLA fuses into the
+        # multiplies, so no (..., D)-minor repeat of g ever hits HBM.
+        gq = g_c.astype(value.dtype)[:, :, None, :]          # (BH, Qc, 1, D)
+
+        def cpiece(u):
+            w = (u * a).reshape(BH, Qc, P, 1).astype(value.dtype)
+            return gq * w                                    # (BH, Qc, P, D)
+
+        contrib_b = jnp.concatenate(
+            [cpiece(u00), cpiece(u01), cpiece(u10), cpiece(u11)],
+            axis=-1).reshape(BH, QP, 4 * D)
+        # accumulate in the VALUE dtype (bf16 matches what plain autodiff of
+        # the bf16 forward would do, and halves the scatter's 4KB-per-row
+        # traffic).  Scatter PER HEAD-GROUP: each target table is then
+        # ~10 MB, small enough for the read-modify-write to stay on-chip.
+        parts = []
+        for hs in range(0, BH, Gs):
+            k = (idx[hs:hs + Gs] + offs_s).reshape(-1)
+            c = contrib_b[hs:hs + Gs].reshape(-1, 4 * D)
+            if SORT_SCATTER:
+                order = jnp.argsort(k)
+                part = jnp.zeros((Gs * TR, 4 * D), value.dtype).at[
+                    k[order]].add(c[order], indices_are_sorted=True)
+            else:
+                part = jnp.zeros((Gs * TR, 4 * D), value.dtype).at[k].add(c)
+            parts.append(part)
+        chunk_d = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                   else parts[0]).reshape(BH, TR, 4 * D)
+        d_v4 = chunk_d if d_v4 is None else d_v4 + chunk_d
+
+    d_attn = (d_attn_parts[0] if len(d_attn_parts) == 1
+              else jnp.concatenate(d_attn_parts, axis=1))
+    d_loc = (d_loc_parts[0] if len(d_loc_parts) == 1
+             else jnp.concatenate(d_loc_parts, axis=1))
     d_v4 = d_v4.reshape(BH, H + 1, W + 1, 4 * D)
 
     # unpack the corner-packed adjoint with shifted adds, then crop the ring
