@@ -324,18 +324,29 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
     idx = (y0c * (W + 1) + x0c).reshape(B, N * K)
 
-    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    v4 = jnp.concatenate(
-        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
-        axis=-1).reshape(B, TR, 4 * Cin)
-    # per-camera gathers keep each source table (~12 MB at stage 3) inside
+    # Re-gather through the SAME s32 pair-packed table as the forward: the
+    # bf16 4-corner table this backward first used cost ~12 ms/conv to build
+    # ((B,TR,4Cin) bf16 concat) and its 1024-lane bf16 gather rows moved at
+    # the slow bf16 rate — the s32 pack is half the table-build traffic and
+    # gathers at ~3.2 ns/row (same bytes per row, fewer+faster lanes).
+    # Per-camera gathers keep each source table (~12 MB at stage 3) inside
     # the ~20 MB fast gather window; one batched take_along_axis over all
-    # cameras reads a ~73 MB table at the slow-window rate instead
+    # cameras reads a ~73 MB table at the slow-window rate instead.
+    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    row_y0 = _pack_pairs(v[:, :-1, :-1, :], v[:, :-1, 1:, :])
+    row_y1 = _pack_pairs(v[:, 1:, :-1, :], v[:, 1:, 1:, :])
+    tab = jnp.concatenate([row_y0, row_y1], axis=-1).reshape(B, TR, 2 * Cin)
     rows = jnp.concatenate(
-        [v4[b].at[idx[b]].get(mode="promise_in_bounds") for b in range(B)],
+        [tab[b].at[idx[b]].get(mode="promise_in_bounds") for b in range(B)],
         axis=0)
     M = B * N * K
-    rows = rows.reshape(M, 4 * Cin).astype(x.dtype)   # wide minor, bf16
+    rows = rows.reshape(M, 2 * Cin)                   # s32 pairs, wide minor
+    rp0 = rows[:, :Cin]                               # (x0,x1) at y0
+    rp1 = rows[:, Cin:]                               # (x0,x1) at y1
+    # corner values as exact f32 views of the packed bf16 halves; these feed
+    # multi-output fusions (cdots / sampled) and never round-trip to HBM
+    v00, v01 = _unpack_lo_f32(rp0), _unpack_hi_f32(rp0)
+    v10, v11 = _unpack_lo_f32(rp1), _unpack_hi_f32(rp1)
 
     # per-sample scalars kept 1D (1D arrays tile lane-major: no padding)
     a = valid.astype(jnp.float32).reshape(M)
@@ -357,11 +368,8 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     dsm = (ds.reshape(M, Cin) * mf[:, None])                # (M, Cin) bf16
 
     # sampled (pre-mask) slice-FMA for d_mask / d_weight
-    ud = x.dtype
-    sampled = (rows[:, 0 * Cin:1 * Cin] * u00[:, None].astype(ud)
-               + rows[:, 1 * Cin:2 * Cin] * u01[:, None].astype(ud)
-               + rows[:, 2 * Cin:3 * Cin] * u10[:, None].astype(ud)
-               + rows[:, 3 * Cin:4 * Cin] * u11[:, None].astype(ud))
+    sampled = (v00 * u00[:, None] + v01 * u01[:, None]
+               + v10 * u10[:, None] + v11 * u11[:, None]).astype(x.dtype)
     d_mask = (ds.reshape(M, Cin) * sampled).sum(
         -1, dtype=jnp.float32).reshape(mask.shape)
     cols = (sampled * mf[:, None]).reshape(B * N, K * Cin)
@@ -369,11 +377,10 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
                           preferred_element_type=jnp.float32).astype(
         weight.dtype)
 
-    def cdot(c):
-        return (rows[:, c * Cin:(c + 1) * Cin] * dsm).sum(
-            -1, dtype=jnp.float32)  # (M,) f32-accumulated
+    def cdot(vc):
+        return (vc * dsm).sum(-1, dtype=jnp.float32)  # (M,) f32-accumulated
 
-    gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
+    gv0, gv1, gv2, gv3 = cdot(v00), cdot(v01), cdot(v10), cdot(v11)
     d_sx = ((gv1 - gv0) * (1 - lyf) + (gv3 - gv2) * lyf) * a
     d_sy = ((gv2 - gv0) * (1 - lxf) + (gv3 - gv1) * lxf) * a
     d_offset = jnp.stack([d_sy.reshape(B, Ho, Wo, K),

@@ -353,32 +353,33 @@ def _slab_level_op_bwd(H, W, res, g):
         u10 = (1 - lx) * ly
         u11 = lx * ly
 
-        # <rows corner c, g> over D.  NEVER materialize g repeated per point
-        # in (..., D)-minor form: a tile+reshape of g to (BH, QP, D) is a
-        # reshape-of-broadcast that XLA must materialize, and a D=32 minor
-        # pads 4x under (8,128) tiling — two 625 MB tiles of exactly that
-        # OOMed the flagship train step.  g enters as a (BH, Qc, 1, D)
-        # broadcast over the point axis instead: XLA fuses it into one
-        # multi-output pass over the rows (an einsum bqkd,bqd->bqk variant
-        # traced 3x slower — the 2-batch-dim dot_general lowers to padded
-        # 32x32 matvecs).
-        rows4 = rows.reshape(BH, Qc, P, 4 * D)
+        # <rows corner c, g> over D.  Everything here stays (BH, QP) 2D or
+        # (BH, QP, 128)-lane: the first version reduced (BH, Qc, P, D) to
+        # (BH, Qc, P) — a minor-4 output that tiles 32x padded, and whose
+        # reshape to (BH, QP) is a physical copy — 16.8 ms/layer of the TSA
+        # backward went to exactly those padded writes+copies.  g is tiled
+        # 4x across the corner lanes once per chunk (one 128-lane-dense
+        # materialization) so each corner dot is a dense slice-mul-reduce
+        # with a dense 2D output.  (An einsum bqkd,bqd->bqk variant traced
+        # 3x slower still — 2-batch-dim dot_general lowers to padded 32x32
+        # matvecs.)
         g_c = g[:, q0:q1]
-        g4 = g_c.astype(jnp.float32)[:, :, None, :]          # (BH, Qc, 1, D)
+        g128 = jnp.broadcast_to(
+            jnp.tile(g_c, (1, 1, 4))[:, :, None, :],
+            (BH, Qc, P, 4 * D)).reshape(BH, QP, 4 * D)
 
         def cdot(c):
-            return (rows4[..., c * D:(c + 1) * D].astype(jnp.float32)
-                    * g4).sum(-1).reshape(BH, QP)
+            sl = slice(c * D, (c + 1) * D)
+            return (rows[..., sl].astype(jnp.float32)
+                    * g128[..., sl].astype(jnp.float32)).sum(-1)
 
         gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
         gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
-        d_attn_parts.append((gs * valid).reshape(BH, Qc, P).astype(attn.dtype))
+        d_attn_parts.append((gs * valid).astype(attn.dtype))   # (BH, QP)
 
         dx = ((gv1 - gv0) * (1 - ly) + (gv3 - gv2) * ly) * a
         dy = ((gv2 - gv0) * (1 - lx) + (gv3 - gv1) * lx) * a
-        d_loc_parts.append(jnp.stack([(dx * W).reshape(BH, Qc, P),
-                                      (dy * H).reshape(BH, Qc, P)],
-                                     axis=-1).astype(loc.dtype))
+        d_loc_parts.append((dx * W, dy * H))                   # (BH, QP) x2
 
         # d_value: contribution rows (N, 4D) built as ONE concat of fused
         # broadcast-multiplies (never materializing narrow pieces), then a
@@ -413,10 +414,16 @@ def _slab_level_op_bwd(H, W, res, g):
                    else parts[0]).reshape(BH, TR, 4 * D)
         d_v4 = chunk_d if d_v4 is None else d_v4 + chunk_d
 
+    # one narrow-minor materialization for the whole backward: concat the
+    # dense (BH, QP) chunk pieces, THEN shape the (.., P[, 2]) outputs once
     d_attn = (d_attn_parts[0] if len(d_attn_parts) == 1
-              else jnp.concatenate(d_attn_parts, axis=1))
-    d_loc = (d_loc_parts[0] if len(d_loc_parts) == 1
-             else jnp.concatenate(d_loc_parts, axis=1))
+              else jnp.concatenate(d_attn_parts, axis=1)).reshape(BH, Q, P)
+    dx_all = (d_loc_parts[0][0] if len(d_loc_parts) == 1
+              else jnp.concatenate([p[0] for p in d_loc_parts], axis=1))
+    dy_all = (d_loc_parts[0][1] if len(d_loc_parts) == 1
+              else jnp.concatenate([p[1] for p in d_loc_parts], axis=1))
+    d_loc = jnp.stack([dx_all, dy_all],
+                      axis=-1).reshape(BH, Q, P, 2).astype(loc.dtype)
     d_v4 = d_v4.reshape(BH, H + 1, W + 1, 4 * D)
 
     # unpack the corner-packed adjoint with shifted adds, then crop the ring
