@@ -194,7 +194,15 @@ def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
 def _onehot_level(value: jnp.ndarray, H: int, W: int,
                   loc: jnp.ndarray, attn: jnp.ndarray,
                   query_chunk: int = 4096) -> jnp.ndarray:
-    """One level via dense sampling-matrix build + MXU matmul (small V only)."""
+    """One level via dense sampling-matrix build + MXU matmul (small V only).
+
+    The dense (Q, H*W) matrix is built SEPARABLY: bilinear corner weights
+    factor as (2-hot over rows) x (2-hot over columns), so the build is P
+    outer-product FMA passes over the (H, W) grid plus P*(2H+2W) row/column
+    compares — vs the 4P compare-convert-FMA passes over all H*W cells of
+    the flat one-hot form.  Out-of-range corners fall out naturally: a
+    clipped-out y0/x0 matches no iota entry, zeroing that axis factor.
+    """
     BH, V, D = value.shape
     Q, P = loc.shape[1], loc.shape[2]
 
@@ -202,38 +210,37 @@ def _onehot_level(value: jnp.ndarray, H: int, W: int,
     y = loc[..., 1] * H - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    lx = x - x0
-    ly = y - y0
+    lx = (x - x0).astype(value.dtype)
+    ly = (y - y0).astype(value.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-
-    idxs, ws = [], []
-    for dy, wy in ((0, 1 - ly), (1, ly)):
-        for dx, wx in ((0, 1 - lx), (1, lx)):
-            xi = x0i + dx
-            yi = y0i + dy
-            inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            idxs.append(jnp.where(inb, yi * W + xi, -1))
-            ws.append(wy * wx * inb * attn)
-    idx = jnp.stack(idxs, axis=-1).reshape(BH, Q, 4 * P)   # (BH, Q, K)
-    w = jnp.stack(ws, axis=-1).reshape(BH, Q, 4 * P)
-    K = 4 * P
 
     n_chunks = max(1, -(-Q // query_chunk))
     Qc = -(-Q // n_chunks)
     pad = n_chunks * Qc - Q
     if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)), constant_values=-1)
-        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+        # pad corners out of range: they match no iota row/col -> zero weight
+        x0i = jnp.pad(x0i, ((0, 0), (0, pad), (0, 0)), constant_values=-9)
+        y0i = jnp.pad(y0i, ((0, 0), (0, pad), (0, 0)), constant_values=-9)
+        lx = jnp.pad(lx, ((0, 0), (0, pad), (0, 0)))
+        ly = jnp.pad(ly, ((0, 0), (0, pad), (0, 0)))
+        attn = jnp.pad(attn, ((0, 0), (0, pad), (0, 0)))
 
-    iota = jnp.arange(V, dtype=jnp.int32)
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_w = jnp.arange(W, dtype=jnp.int32)
 
     def run_chunk(args):
-        idx_c, w_c = args                                   # (BH, Qc, K)
-        dense = jnp.zeros((BH, Qc, V), value.dtype)
-        for k in range(K):
-            hit = (idx_c[..., k, None] == iota).astype(value.dtype)
-            dense = dense + w_c[..., k, None].astype(value.dtype) * hit
+        y0c, x0c, lyc, lxc, ac = args                       # (BH, Qc, P)
+        ac = ac.astype(value.dtype)
+        # per-axis 2-hot bilinear factors; attention weight folded into wy
+        wy = ((y0c[..., None] == iota_h).astype(value.dtype) * ((1 - lyc) * ac)[..., None]
+              + ((y0c + 1)[..., None] == iota_h).astype(value.dtype) * (lyc * ac)[..., None])
+        wx = ((x0c[..., None] == iota_w).astype(value.dtype) * (1 - lxc)[..., None]
+              + ((x0c + 1)[..., None] == iota_w).astype(value.dtype) * lxc[..., None])
+        dense = 0.0
+        for p in range(P):                                  # unrolled outer products
+            dense = dense + wy[..., p, :, None] * wx[..., p, None, :]
+        dense = dense.reshape(BH, y0c.shape[1], V)
         return jnp.einsum("bqv,bvd->bqd", dense, value,
                           preferred_element_type=jnp.float32).astype(value.dtype)
 
@@ -244,11 +251,12 @@ def _onehot_level(value: jnp.ndarray, H: int, W: int,
     # python (n_chunks <= ~4): a lax.map accumulated its output through
     # per-iteration dynamic-update-slices that cost 45 ms at inference.
     run_chunk_ckpt = jax.checkpoint(run_chunk)
+    packed = (y0i, x0i, ly, lx, attn)
     if n_chunks == 1:
-        out = run_chunk_ckpt((idx, w))
+        out = run_chunk_ckpt(packed)
     else:
-        outs = [run_chunk_ckpt((idx[:, c * Qc:(c + 1) * Qc],
-                                w[:, c * Qc:(c + 1) * Qc]))
+        outs = [run_chunk_ckpt(tuple(a[:, c * Qc:(c + 1) * Qc]
+                                     for a in packed))
                 for c in range(n_chunks)]
         out = jnp.concatenate(outs, axis=1)
     return out[:, :Q]
