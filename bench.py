@@ -36,6 +36,39 @@ import numpy as np
 BASELINE = 2.0  # assumed reference GPU samples/s (no published number)
 
 
+def _tail(text, n=20, width=2400):
+    """Last n lines / width chars of a (possibly bytes, possibly None) blob."""
+    if not text:
+        return ""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", "replace")
+    return "\n".join(text.strip().splitlines()[-n:])[-width:]
+
+
+def run_sub(cmd, budget):
+    """Run one bench extra in a subprocess.
+
+    Returns (parsed_json_or_None, failure_info_or_None).  On ANY failure the
+    info dict carries the rc and a stderr tail so the driver artifact is
+    diagnosable (VERDICT r3 #2: a dead subprocess used to surface as the
+    useless 'failed: IndexError').
+    """
+    import subprocess
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=budget)
+    except subprocess.TimeoutExpired as e:
+        return None, {"status": "failed: timeout",
+                      "stderr_tail": _tail(e.stderr)}
+    lines = p.stdout.strip().splitlines()
+    if p.returncode == 0 and lines:
+        try:
+            return json.loads(lines[-1]), None
+        except Exception:
+            pass
+    return None, {"status": f"failed: rc={p.returncode}",
+                  "stderr_tail": _tail(p.stderr)}
+
+
 def _init_variables(model, batch):
     return jax.jit(lambda b: model.init(
         dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
@@ -45,12 +78,19 @@ def _init_variables(model, batch):
 
 def bench_inference(modality: str, batch_size: int = 1,
                     n_iters: int = 10, n_rounds: int = 3) -> float:
-    """Best-of-rounds per-sample seconds for one modality combination."""
+    """Best-of-rounds per-sample seconds for one modality combination.
+
+    Inference defaults to the fp8 sparse-conv x-quad tables (measured
+    -30 ms LC with score drift max |d| 0.004 — PERF.md; the BASELINE gate
+    is mAP-within-0.5, not bit parity).  UNIBEV_FP8=0 opts back to bf16.
+    """
     from unibev_tpu.flagship import build_flagship, synthetic_batch
     from unibev_tpu.models.detectors.unibev import UniBEV
 
+    fp8 = os.environ.get("UNIBEV_FP8", "1") == "1" and "L" in modality
     model = build_flagship(use_lidar="L" in modality,
-                           use_camera="C" in modality)
+                           use_camera="C" in modality,
+                           fp8_tables=fp8)
     rng = np.random.RandomState(0)
     batch = synthetic_batch(rng, B=batch_size)
     variables = _init_variables(model, batch)
@@ -106,7 +146,19 @@ def bench_train_step(batch_size: int = 1):
     flops = float(ca.get("flops", 0.0))
     peak = 197e12   # v5e bf16 peak
     mfu = flops / best / peak if flops else None
-    return best, (flops / 1e12 if flops else None), mfu
+
+    # HBM fit, straight from the compiled step (VERDICT r3 #6: the r03 OOM
+    # was invisible until the driver ran; this keeps headroom in every
+    # round's artifact).  15.75 GiB = usable HBM per XLA's own OOM text.
+    headroom_mb = None
+    try:
+        ma = compiled.memory_analysis()
+        used = ((getattr(ma, "temp_size_in_bytes", 0) or 0)
+                + (getattr(ma, "argument_size_in_bytes", 0) or 0))
+        headroom_mb = round((15.75 * 2**30 - used) / 2**20, 1)
+    except Exception:
+        pass
+    return best, (flops / 1e12 if flops else None), mfu, headroom_mb
 
 
 def main():
@@ -125,7 +177,7 @@ def main():
     args = p.parse_args()
 
     if args.train:
-        best, tflop, mfu = bench_train_step(args.batch)
+        best, tflop, mfu, headroom_mb = bench_train_step(args.batch)
         print(json.dumps({
             "metric": "flagship LC train step seconds (fwd+bwd+AdamW, 1 chip)",
             "value": round(best, 3),
@@ -134,6 +186,7 @@ def main():
             "batch": args.batch,
             "step_tflop": round(tflop, 2) if tflop else None,
             "mfu": round(mfu, 4) if mfu else None,
+            "hbm_headroom_mb": headroom_mb,
             "device": str(jax.devices()[0]),
         }))
         return
@@ -146,6 +199,8 @@ def main():
         "vs_baseline": round(1.0 / dt / BASELINE, 3),
         "ms_per_sample": round(dt * 1e3, 1),
         "batch": args.batch,
+        "fp8_sparse": os.environ.get("UNIBEV_FP8", "1") == "1"
+                      and "L" in args.modality,
         "device": str(jax.devices()[0]),
         "baseline_note": "assumed 2.0 samples/s reference GPU (none published)",
     }
@@ -159,30 +214,26 @@ def main():
         # extra never loses the headline number or the driver's budget
         # (an in-process XLA compile cannot be interrupted; killing the
         # whole bench mid-compile can wedge the axon relay for an hour).
-        import subprocess
-
         budget = int(os.environ.get("UNIBEV_BENCH_EXTRA_TIMEOUT", "1500"))
+        me = os.path.abspath(__file__)
 
-        def sub_bench(extra_args):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)] + extra_args,
-                capture_output=True, text=True, timeout=budget)
-            line = p.stdout.strip().splitlines()[-1]
-            return json.loads(line)
+        def sub_bench(extra_args, key):
+            sub, fail = run_sub([sys.executable, me] + extra_args, budget)
+            if fail is not None:
+                rec[key] = fail["status"]
+                rec[key + "_stderr"] = fail["stderr_tail"]
+            return sub
 
         for key, modality in (("L_ms", "L"), ("C_ms", "C")):
-            try:
-                sub = sub_bench(["--modality", modality])
+            sub = sub_bench(["--modality", modality], key)
+            if sub is not None:
                 rec[key] = sub["ms_per_sample"]
-            except Exception as e:   # pragma: no cover
-                rec[key] = f"failed: {type(e).__name__}"
-        try:
-            sub = sub_bench(["--train"])
+        sub = sub_bench(["--train"], "train_s")
+        if sub is not None:
             rec["train_s"] = sub["value"]
             rec["step_tflop"] = sub.get("step_tflop")
             rec["mfu"] = sub.get("mfu")
-        except Exception as e:       # pragma: no cover
-            rec["train_s"] = f"failed: {type(e).__name__}"
+            rec["hbm_headroom_mb"] = sub.get("hbm_headroom_mb")
 
     print(json.dumps(rec))
 

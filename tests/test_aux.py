@@ -123,3 +123,26 @@ def test_bev_visualization(tmp_path):
     im = Image.open(p)
     assert im.size == (800, 800)
     assert np.asarray(im).sum() > 0
+
+
+def test_bench_sub_failure_diagnosable():
+    """bench.run_sub must surface rc + stderr tail, never a bare IndexError
+    (VERDICT r3 #2: the r03 HBM OOM was recorded as 'failed: IndexError')."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import run_sub
+
+    # failing subprocess: rc and stderr must land in the failure info
+    out, fail = run_sub(
+        [sys.executable, "-c",
+         "import sys; sys.stderr.write('hbm capacity exceeded\\n'); "
+         "sys.exit(3)"], budget=30)
+    assert out is None
+    assert fail["status"] == "failed: rc=3"
+    assert "hbm capacity exceeded" in fail["stderr_tail"]
+
+    # healthy subprocess: JSON parsed, no failure info
+    out, fail = run_sub(
+        [sys.executable, "-c", "print('{\"value\": 1.5}')"], budget=30)
+    assert fail is None and out == {"value": 1.5}
