@@ -166,11 +166,25 @@ class ResNet(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, 3) -> tuple of NHWC stage outputs at out_indices."""
         blocks_per_stage = ARCH_SETTINGS[self.depth][:self.num_stages]
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        conv1 = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        dtype=self.dtype, name="conv1")
+        bn1 = FrozenBatchNorm(64, name="bn1")
+
+        def stem(conv1, bn1, y):
+            y = nn.relu(bn1(conv1(y)))
+            return nn.max_pool(y, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+
+        # Remat the stem: un-remat'd, the conv1 output + its relu at half
+        # image resolution were the two LARGEST buffers of the flagship
+        # train step (554 MB at 2x lane padding + 300 MB — the r03 HBM OOM's
+        # top HLO temps), held across the whole forward for the maxpool/relu
+        # backward.  Recomputing the stem costs one ~22 GFLOP 7x7 conv +
+        # three cheap elementwise passes in the backward.
+        if self.with_cp:
+            x = nn.remat(stem)(conv1, bn1, x)
+        else:
+            x = stem(conv1, bn1, x)
 
         outs = []
         planes = 64
@@ -192,11 +206,13 @@ class ResNet(nn.Module):
                 # re-gathers was tried and OOMs by 1.3 GB (the saved
                 # activations coexist with the DCN backward's 640 MB
                 # contribution buffers).  UNIBEV_DCN_SAVE (default ON)
-                # instead keeps just the named DCN outputs (~430 MB) so the
-                # remat recompute skips the expensive deformable forward
-                # while everything else is rematerialized — measured on-chip
-                # 2.438 vs 2.524 s/step, fits HBM alongside the Q-chunked
-                # MSDA backward.  Set UNIBEV_DCN_SAVE=0 if HBM is tight.
+                # keeps just the named DCN outputs (~430 MB) so the remat
+                # recompute skips the expensive deformable forward while
+                # everything else is rematerialized.  HBM fit at flagship
+                # scale is gated by tools/memcheck_flagship.py (the r03
+                # regression shipped exactly because this comment once
+                # claimed an un-re-measured fit).  UNIBEV_DCN_SAVE=0 trades
+                # ~3 ms/block of backward re-gathers for the 430 MB.
                 if self.with_cp:
                     if os.environ.get("UNIBEV_DCN_SAVE", "1") == "1":
                         x = nn.remat(
