@@ -399,3 +399,85 @@ def test_head_loss_single_golden():
 
     np.testing.assert_allclose(float(cls_l), exp_cls, rtol=1e-3)
     np.testing.assert_allclose(float(bbox_l), exp_bbox, rtol=1e-3)
+
+
+# ------------------------------------------------ MLP-CNW + modal embeds
+
+@pytest.mark.parametrize("variant,act", [
+    ("MLP_ChannelNormWeights", F.relu),
+    ("Leaky_ReLU_MLP_ChannelNormWeights", F.leaky_relu),
+    ("ELU_MLP_ChannelNormWeights", F.elu),
+    ("Sigmoid_MLP_ChannelNormWeights", torch.sigmoid),
+])
+def test_mlp_cnw_golden(variant, act):
+    """MLP-CNW is a SINGLE Linear(2HW->2) + variant activation over
+    (B, C, 2HW), softmaxed across the 2 modal logits when both flags are on
+    (reference transformer_fusion.py:136-151, forward :345-363) — weights fed
+    through convert_state_dict to also pin the channel_weights_proj.* map."""
+    import flax.linen as nn
+    from unibev_tpu.models.transformer_fusion import UniBEVTransformer
+
+    rng = np.random.RandomState(1)
+    B, h, w = 1, 4, 4
+    HW = h * w
+    img = rng.randn(B, HW, C).astype(np.float32)
+    pts = rng.randn(B, HW, C).astype(np.float32)
+
+    sd = {
+        "pts_bbox_head.transformer.channel_weights_proj.0.weight":
+            rng.randn(2, 2 * HW).astype(np.float32) * 0.1,
+        "pts_bbox_head.transformer.channel_weights_proj.0.bias":
+            rng.randn(2).astype(np.float32) * 0.1,
+        "pts_bbox_head.transformer.modal_embbeding_mlp.0.weight":
+            rng.randn(C // 2, 2).astype(np.float32),
+        "pts_bbox_head.transformer.modal_embbeding_mlp.0.bias":
+            rng.randn(C // 2).astype(np.float32),
+        "pts_bbox_head.transformer.modal_embbeding_mlp.2.weight":
+            rng.randn(C, C // 2).astype(np.float32),
+        "pts_bbox_head.transformer.modal_embbeding_mlp.2.bias":
+            rng.randn(C).astype(np.float32),
+    }
+    out = convert_state_dict(sd)
+    assert out["unmapped"] == [], out["unmapped"]
+    params = out["params"]["pts_bbox_head"]["transformer"]
+
+    class _Fuse(UniBEVTransformer):
+        @nn.compact
+        def __call__(self, a, b, l_flag, c_flag):
+            a, b = self.channel_feature_norm(a, b, l_flag, c_flag)
+            return self.multi_modal_fusion(a, b, l_flag, c_flag)
+
+    tfm = _Fuse(embed_dims=C, feature_norm=variant, fusion_method="linear",
+                use_modal_embeds="MLP", bev_h=h, bev_w=w)
+
+    def run(l_flag, c_flag):
+        return np.asarray(tfm.apply(
+            {"params": params}, jnp.asarray(img), jnp.asarray(pts),
+            jnp.float32(l_flag), jnp.float32(c_flag)))
+
+    def twin(l_flag, c_flag):
+        t_img = torch.as_tensor(img) if c_flag else torch.zeros(B, HW, C)
+        t_pts = torch.as_tensor(pts) if l_flag else torch.zeros(B, HW, C)
+        x = torch.cat([t_img, t_pts], dim=1).permute(0, 2, 1)  # (B, C, 2HW)
+        logits = act(t_lin(
+            x, sd, "pts_bbox_head.transformer.channel_weights_proj.0"))
+        if c_flag == 1 and l_flag == 1:
+            n = logits.softmax(dim=-1)
+            iw, pw = n[..., 0], n[..., 1]
+        else:
+            iw = logits[..., :1].softmax(dim=-1).squeeze(-1)
+            pw = logits[..., 1:].softmax(dim=-1).squeeze(-1)
+        a = t_img * iw[:, None, :]
+        b = t_pts * pw[:, None, :]
+        fused = c_flag * a + l_flag * b
+        status = torch.tensor([c_flag, l_flag], dtype=torch.float32)
+        e = F.relu(t_lin(
+            status, sd, "pts_bbox_head.transformer.modal_embbeding_mlp.0"))
+        e = F.relu(t_lin(
+            e, sd, "pts_bbox_head.transformer.modal_embbeding_mlp.2"))
+        return (fused + e).numpy()
+
+    for l_flag, c_flag in ((1.0, 1.0), (1.0, 0.0), (0.0, 1.0)):
+        got = run(l_flag, c_flag)
+        # dropped-modality branch enters the jax path as zeros too
+        np.testing.assert_allclose(got, twin(l_flag, c_flag), **rtol)

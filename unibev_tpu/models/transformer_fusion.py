@@ -152,17 +152,20 @@ class UniBEVTransformer(nn.Module):
                                    "Leaky_ReLU_MLP_ChannelNormWeights",
                                    "ELU_MLP_ChannelNormWeights",
                                    "Sigmoid_MLP_ChannelNormWeights"):
-            # Tokens of both BEV maps -> per-channel 2-way logits.
+            # Reference (transformer_fusion.py:136-151, forward :345-363):
+            # channel_weights_proj = SINGLE Linear(2*H*W -> 2) followed by the
+            # variant's activation, applied to (B, C, 2HW); softmax over the
+            # 2 modal logits when both flags are on, else a one-element
+            # softmax (identically 1.0) per side.
             x = jnp.concatenate([img_bev, pts_bev], axis=1)  # (B, 2HW, C)
             x = x.transpose(0, 2, 1)                          # (B, C, 2HW)
-            h = nn.Dense(self.bev_h * self.bev_w, dtype=self.dtype,
-                         name="cnw_mlp_fc1")(x)
-            act = {"Leaky_ReLU_MLP_ChannelNormWeights": nn.leaky_relu,
+            act = {"Leaky_ReLU_MLP_ChannelNormWeights":
+                       lambda t: nn.leaky_relu(t, negative_slope=0.01),
                    "ELU_MLP_ChannelNormWeights": nn.elu,
                    "Sigmoid_MLP_ChannelNormWeights": nn.sigmoid}.get(
                        self.feature_norm, nn.relu)
-            h = act(h)
-            logits = nn.Dense(2, dtype=self.dtype, name="cnw_mlp_fc2")(h)  # (B, C, 2)
+            logits = act(nn.Dense(2, dtype=self.dtype,
+                                  name="channel_weights_proj")(x))  # (B, C, 2)
             joint = jax.nn.softmax(logits, axis=-1)
             img_n = jnp.where(both, joint[..., 0], 1.0)       # (B, C)
             pts_n = jnp.where(both, joint[..., 1], 1.0)
@@ -210,18 +213,25 @@ class UniBEVTransformer(nn.Module):
             raise NotImplementedError(self.fusion_method)
 
         if self.use_modal_embeds == "MLP":
-            status = jnp.stack([c, l]).reshape(1, 2).astype(self.dtype)
-            emb = nn.Dense(self.dec_dims, dtype=self.dtype,
+            # Reference (:172-178): Linear(2 -> C/2) + ReLU + Linear(C/2 -> C)
+            # + ReLU over the flat [c_flag, l_flag] status vector; the (C,)
+            # embedding broadcast-adds over (B, HW, C).  C is embed_dims even
+            # for cat fusion — faithful to the reference (which would also
+            # shape-error there; no config combines cat with MLP embeds).
+            status = jnp.stack([c, l]).astype(self.dtype)     # (2,)
+            emb = nn.Dense(self.embed_dims // 2, dtype=self.dtype,
                            name="modal_embed_fc1")(status)
             emb = nn.relu(emb)
-            emb = nn.Dense(self.dec_dims, dtype=self.dtype,
+            emb = nn.Dense(self.embed_dims, dtype=self.dtype,
                            name="modal_embed_fc2")(emb)
-            fused = fused + emb[:, None, :]
+            emb = nn.relu(emb)
+            fused = fused + emb[None, None, :]
         elif self.use_modal_embeds == "Fixed":
+            # Reference (:179-180): (embed_dims,) parameters, not dec_dims.
             emb_c = self.param("modal_embedding_C",
-                               nn.initializers.normal(0.02), (self.dec_dims,))
+                               nn.initializers.normal(0.02), (self.embed_dims,))
             emb_l = self.param("modal_embedding_L",
-                               nn.initializers.normal(0.02), (self.dec_dims,))
+                               nn.initializers.normal(0.02), (self.embed_dims,))
             fused = fused + (c * emb_c + l * emb_l)[None, None, :]
         return fused
 

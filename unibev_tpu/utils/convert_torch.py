@@ -288,6 +288,10 @@ def _convert_transformer_key(k: str, w, put, out, num_heads: int) -> bool:
     simple = {
         "img_channel_weights": ("img_channel_weights",),
         "pts_channel_weights": ("pts_channel_weights",),
+        "img_spatial_weights": ("img_spatial_weights",),
+        "pts_spatial_weights": ("pts_spatial_weights",),
+        "modal_embbeding_C": ("modal_embedding_C",),   # [sic] reference typo
+        "modal_embbeding_L": ("modal_embedding_L",),
         "cams_embeds": ("cams_embeds",),
         "level_embeds": ("img_level_embeds",),
         "img_level_embeds": ("img_level_embeds",),
@@ -295,6 +299,19 @@ def _convert_transformer_key(k: str, w, put, out, num_heads: int) -> bool:
     }
     if k in simple:
         put("params", base + simple[k], w)
+        return True
+    # MLP-CNW: Sequential(Linear(2HW->2), act) — index 0 is the Linear
+    # (reference transformer_fusion.py:136-151)
+    m = re.match(r"channel_weights_proj\.0\.(weight|bias)", k)
+    if m:
+        _put_linear(put, base + ("channel_weights_proj",), w, m.group(1))
+        return True
+    # modal-embed MLP: Sequential(Linear(2->C/2), ReLU, Linear(C/2->C), ReLU)
+    # (reference :172-178); Sequential indices 0 and 2 are the Linears
+    m = re.match(r"modal_embbeding_mlp\.(0|2)\.(weight|bias)", k)
+    if m:
+        name = "modal_embed_fc1" if m.group(1) == "0" else "modal_embed_fc2"
+        _put_linear(put, base + (name,), w, m.group(2))
         return True
     m = re.match(r"reference_points\.(weight|bias)", k)
     if m:
