@@ -89,11 +89,32 @@ def _unpack_results(gathered: Dict[str, np.ndarray]
     return preds, gts
 
 
-def make_eval_fn(model, max_samples: Optional[int] = None):
-    """Returns eval_fn(state, dataset) -> metrics dict for Runner."""
-    from unibev_tpu.models.detectors.unibev import UniBEV
+def make_eval_fn(model, max_samples: Optional[int] = None,
+                 mesh: Optional["jax.sharding.Mesh"] = None):
+    """Returns eval_fn(state, dataset) -> metrics dict for Runner.
 
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
+    Batched + device-sharded + prefetched through the same
+    ``runtime.predict`` path as the test CLI (VERDICT r3 #7: the hook used
+    to run B=1 on one device while the CLI was batched — at real scale the
+    per-epoch eval would have dominated wall-clock).
+    """
+    from jax.sharding import Mesh
+    from unibev_tpu.runtime.predict import (make_replicated_predict,
+                                            predict_dataset)
+
+    mesh = mesh or Mesh(np.array(jax.devices()), ("data",))
+    predict = make_replicated_predict(model, mesh)
+
+    def _gt_for(dataset, i):
+        if hasattr(dataset, "get_ann_info"):
+            ann = dataset.get_ann_info(int(i))
+            return dict(boxes=np.asarray(ann["gt_bboxes_3d"],
+                                         np.float32).reshape(-1, 9),
+                        labels=np.asarray(ann["gt_labels_3d"]))
+        sample = dataset[int(i)]   # synthetic datasets: GT rides the sample
+        g = np.asarray(sample["gt_bboxes"])
+        v = np.asarray(sample["gt_valid"])
+        return dict(boxes=g[v], labels=np.asarray(sample["gt_labels"])[v])
 
     def eval_fn(state, dataset) -> Dict[str, float]:
         variables = {"params": state.params,
@@ -103,26 +124,15 @@ def make_eval_fn(model, max_samples: Optional[int] = None):
                                                          max_samples)
         idxs = shard_indices(n, shuffle=False, drop_last=False)
         preds, gts = [], []
-        for i in idxs:
-            sample = dataset[int(i)]
-            batch = collate([sample])
-            batch.pop("img_metas", None)
-            out = jax.device_get(predict(variables, batch))
-            valid = np.asarray(out["valid"])[0]
-            preds.append(dict(boxes=np.asarray(out["bboxes"])[0][valid],
-                              scores=np.asarray(out["scores"])[0][valid],
-                              labels=np.asarray(out["labels"])[0][valid]))
-            if hasattr(dataset, "get_ann_info"):
-                ann = dataset.get_ann_info(int(i))
-                gts.append(dict(
-                    boxes=np.asarray(ann["gt_bboxes_3d"],
-                                     np.float32).reshape(-1, 9),
-                    labels=np.asarray(ann["gt_labels_3d"])))
-            else:
-                g = np.asarray(sample["gt_bboxes"])
-                v = np.asarray(sample["gt_valid"])
-                gts.append(dict(boxes=g[v],
-                                labels=np.asarray(sample["gt_labels"])[v]))
+        for chunk, _, _, out, row0 in predict_dataset(
+                predict, variables, dataset, idxs, mesh, collate):
+            for j, i in enumerate(chunk):
+                gj = row0 + j
+                valid = np.asarray(out["valid"])[gj]
+                preds.append(dict(boxes=np.asarray(out["bboxes"])[gj][valid],
+                                  scores=np.asarray(out["scores"])[gj][valid],
+                                  labels=np.asarray(out["labels"])[gj][valid]))
+                gts.append(_gt_for(dataset, i))
         if jax.process_count() > 1:
             local_max = max([len(g["boxes"]) for g in gts] + [1])
             global_max = int(np.max(process_allgather(
