@@ -152,7 +152,8 @@ def test_multiscale_flipaug3d_identity_wrapper():
     pts = np.array([[0, 0, 0, 1, 1], [5, 5, 5, 1, 1]], np.float32)
     out = aug(dict(points=pts.copy()))
     assert len(out["points"]) == 1
-    # >1 scale / flip rejected loudly
-    import pytest
-    with pytest.raises(NotImplementedError):
-        build_from_cfg(dict(cfg, flip=True), PIPELINES)
+    # >1 scale / flip: the reference detector consumes only the FIRST aug
+    # variant (unibev_detector.py:296-315) — we run that variant and warn
+    with_flip = build_from_cfg(dict(cfg, flip=True), PIPELINES)
+    out2 = with_flip(dict(points=pts.copy()))
+    np.testing.assert_array_equal(out2["points"], out["points"])

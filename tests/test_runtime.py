@@ -66,3 +66,40 @@ def test_flagship_shape_aot_lower():
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
     ge._flagship_shape_aot_check(mesh)
+
+
+def test_runner_workflow_and_eval_interval(tmp_path):
+    """Runner honors evaluation.interval and workflow=[('train',1),('val',1)]
+    from the config (reference config :379, :417 — VERDICT r3 #8)."""
+    import logging
+
+    import jax
+    from unibev_tpu.data.nuscenes_dataset import SyntheticNuScenes
+    from unibev_tpu.runtime.train_loop import Runner
+
+    ds = SyntheticNuScenes(length=8)
+    cfg = dict(evaluation=dict(interval=3),
+               workflow=[("train", 1), ("val", 1)],
+               max_epochs=1)
+    logger = logging.getLogger("test_runner_workflow")
+    r = Runner(model=None, dataset=ds, cfg=cfg, work_dir=str(tmp_path),
+               logger=logger, val_dataset=ds)
+    assert r.eval_interval == 3
+    assert r.val_loss_epochs is True
+
+    # default workflow: no val-loss pass
+    r2 = Runner(model=None, dataset=ds, cfg=dict(max_epochs=1),
+                work_dir=str(tmp_path), logger=logger)
+    assert r2.val_loss_epochs is False
+    assert r2.eval_interval == 1
+
+    # the bounded val-loss pass averages over whole batches
+    calls = []
+
+    def fake_val_step(state, batch):
+        calls.append(jax.tree.map(lambda x: x.shape, batch))
+        return {"loss": jnp.float32(2.0), "d5.loss_cls": jnp.float32(1.0)}
+
+    out = r._val_loss_pass(fake_val_step, state=None)
+    assert out["loss"] == 2.0 and out["d5.loss_cls"] == 1.0
+    assert len(calls) == len(ds) // r.samples_per_step

@@ -49,6 +49,13 @@ def parse_args():
     p.add_argument("--resume-from", help="checkpoint dir to resume from")
     p.add_argument("--load-from", help="checkpoint to warm start from")
     p.add_argument("--no-validate", action="store_true")
+    group_gpus = p.add_mutually_exclusive_group()
+    group_gpus.add_argument("--gpus", type=int,
+                            help="accepted for reference-CLI parity "
+                                 "(train_UniBEV.py:38-47); TPU devices are "
+                                 "discovered via jax.devices()")
+    group_gpus.add_argument("--gpu-ids", type=int, nargs="+",
+                            help="accepted for reference-CLI parity; ignored")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic", action="store_true",
                    help="accepted for parity; seeded jax.random is "

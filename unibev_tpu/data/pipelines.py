@@ -358,21 +358,31 @@ class MultiScaleFlipAug3D:
     """Test-time-aug wrapper (mmdet3d semantics, reference test pipelines).
 
     The reference configs use it with ONE scale and flip=False (config
-    :120-144), i.e. it just applies ``transforms`` once; multi-scale/flip
-    TTA would need dynamic shapes, so >1 augmentation is rejected rather
-    than silently mis-run.
+    :120-144).  Multi-aug TTA is NOT a real capability of the reference
+    stack for this model: ``UniBEV.forward_test`` evaluates ``points[0]`` /
+    ``img[0]`` and DISCARDS every other aug variant (reference
+    unibev_detector.py:296-315 — the num_augs check is commented out and
+    there is no aug_test/merge).  We reproduce that first-variant behavior
+    (scale[0], no flip) with a warning instead of silently shipping the
+    extra variants to a detector that would ignore them.
     """
 
     def __init__(self, transforms, img_scale=None, pts_scale_ratio=1,
                  flip=False, flip_direction="horizontal", **kwargs):
+        import logging
+
         from unibev_tpu.registry import build_from_cfg
         scales = img_scale if isinstance(img_scale, list) else [img_scale]
         ratios = (pts_scale_ratio if isinstance(pts_scale_ratio, list)
                   else [pts_scale_ratio])
         if flip or len(scales) > 1 or len(ratios) > 1:
-            raise NotImplementedError(
-                "MultiScaleFlipAug3D: only the reference's identity TTA "
-                "(one scale, no flip) is supported")
+            logging.getLogger("unibev").warning(
+                "MultiScaleFlipAug3D: %d scales x %d ratios, flip=%s "
+                "requested, but the reference detector only ever consumes "
+                "the first aug variant (unibev_detector.py:296-315); "
+                "running scale %s, no flip — identical to the reference's "
+                "effective behavior.", len(scales), len(ratios), flip,
+                scales[0])
         self.transforms = [build_from_cfg(dict(t), PIPELINES)
                            for t in transforms]
 

@@ -137,6 +137,25 @@ def make_train_step(model, tx) -> Callable:
     return train_step
 
 
+def make_val_step(model) -> Callable:
+    """Loss-only forward for the val workflow (reference config :417
+    ``workflow = [('train', 1), ('val', 1)]`` — mmcv's runner.val() computes
+    the losses on the val split in eval mode, no optimizer step)."""
+
+    def val_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "constants": state.constants}
+        preds = model.apply(variables, batch, train=False)
+        losses = model.apply(variables, batch, preds,
+                             method=type(model).loss)
+        losses = dict(losses)
+        losses["loss"] = sum(losses.values())
+        return losses
+
+    return val_step
+
+
 def shard_batch_spec(mesh: jax.sharding.Mesh) -> Callable:
     """NamedSharding putting the leading (batch) axis on the 'data' mesh axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P

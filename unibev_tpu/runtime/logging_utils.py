@@ -85,3 +85,12 @@ class MetricsLogger:
         if step % self.interval == 0:
             parts = ", ".join(f"{k}: {v:.4f}" for k, v in scalars.items())
             self.logger.info(f"Epoch [{epoch}] Iter [{step}] {parts}")
+
+    def log_eval(self, step: int, metrics: Dict[str, Any]):
+        """Epoch-end scalars (val losses, eval metrics) to JSONL + TB."""
+        scalars = {k: float(v) for k, v in metrics.items()}
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(dict(step=step, **scalars)) + "\n")
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)

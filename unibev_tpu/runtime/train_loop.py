@@ -19,7 +19,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unibev_tpu.parallel.train_state import (TrainState, create_train_state,
-                                             make_optimizer, make_train_step)
+                                             make_optimizer, make_train_step,
+                                             make_val_step)
 from unibev_tpu.runtime.checkpoints import CheckpointManager
 from unibev_tpu.runtime.logging_utils import MetricsLogger
 
@@ -72,6 +73,20 @@ class Runner:
         self.metrics = MetricsLogger(
             work_dir, logger,
             interval=dict(cfg.get("log_config", {}) or {}).get("interval", 10))
+
+        # Eval cadence from the config (reference config :379
+        # ``evaluation = dict(interval=1)``) and the val-loss workflow
+        # (reference :417 ``workflow = [('train', 1), ('val', 1)]``): mmcv
+        # runs a loss pass over the val split each epoch IN ADDITION to the
+        # metric EvalHook.
+        self.eval_interval = int(dict(
+            cfg.get("evaluation", {}) or {}).get("interval", 1))
+        workflow = cfg.get("workflow", [("train", 1)]) or [("train", 1)]
+        self.val_loss_epochs = any(
+            str(mode) == "val" for mode, _ in workflow)
+        # cap val-loss batches per epoch: the signal is a smoothed loss, not
+        # a metric; 50 global batches bound the cost on real-scale runs
+        self.val_loss_max_batches = int(cfg.get("val_loss_max_batches", 50))
 
     # ------------------------------------------------------------------ init
 
@@ -128,6 +143,10 @@ class Runner:
         train_step = jax.jit(make_train_step(self.model, self.tx),
                              out_shardings=(self._repl, self._repl),
                              donate_argnums=(0,))
+        val_step = None
+        if self.val_loss_epochs and self.val_dataset is not None:
+            val_step = jax.jit(make_val_step(self.model),
+                               out_shardings=self._repl)
         step = int(state.step)
         if start_epoch is None:
             # Resumed jobs continue from the epoch implied by the restored
@@ -151,7 +170,32 @@ class Runner:
             if self.ckpt.should_save(epoch):
                 self.ckpt.save(step, jax.device_get(state))
                 self.logger.info(f"saved checkpoint at epoch {epoch + 1}")
-            if self.eval_fn is not None and self.val_dataset is not None:
+            if val_step is not None:
+                losses = self._val_loss_pass(val_step, state)
+                self.logger.info(f"epoch {epoch + 1} val loss: "
+                                 + ", ".join(f"{k}={v:.4f}"
+                                             for k, v in losses.items()))
+                self.metrics.log_eval(step, {f"val/{k}": v
+                                             for k, v in losses.items()})
+            if (self.eval_fn is not None and self.val_dataset is not None
+                    and (epoch + 1) % self.eval_interval == 0):
                 results = self.eval_fn(state, self.val_dataset)
                 self.logger.info(f"epoch {epoch + 1} eval: {results}")
         return state
+
+    def _val_loss_pass(self, val_step, state) -> Dict[str, float]:
+        """Mean losses over (a bounded number of) val batches."""
+        from unibev_tpu.data.nuscenes_dataset import collate
+        B = self.samples_per_step
+        n = min(len(self.val_dataset), B * self.val_loss_max_batches)
+        sums: Dict[str, float] = {}
+        count = 0
+        for b0 in range(0, n - B + 1, B):
+            samples = [self.val_dataset[i] for i in range(b0, b0 + B)]
+            batch = collate(samples)
+            batch.pop("img_metas", None)
+            losses = jax.device_get(val_step(state, self.shard_batch(batch)))
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}
