@@ -164,7 +164,9 @@ model = dict(
                              embed_dims=_dim_, num_levels=1),
                         dict(type='SpatialCrossAttentionImg',
                              pc_range=point_cloud_range,
-                             rebatch_k=12800,
+                             # measured per-camera hit-count max ~10000
+                             # (wide rear cam); 10240 = 80*128 lanes
+                             rebatch_k=10240,
                              deformable_attention=dict(
                                  type='MSDeformableAttention3DImg',
                                  embed_dims=_dim_, num_points=8,

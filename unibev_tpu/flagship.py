@@ -33,17 +33,28 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
                        feature_norm="ChannelNormWeights",
                        drop_modality=0.5,
                        fp8_tables=False):
-    """fp8_tables: route sparse-conv and DCN im2col through e4m3 quad-packed
-    gather tables (half the gather rows/bytes; value-quantized forward,
-    exact bf16 gradients via STE).  Off by default — see PERF.md for the
-    measured speed/drift trade."""
-    table_dtype = "fp8" if fp8_tables else "bf16"
+    """fp8_tables: route the SPARSE-CONV im2col through e4m3 triple-packed
+    gather tables (one anchor row per 3-tap x-window; value-quantized
+    forward, exact bf16 gradients via STE).  Measured LC inference
+    472.3 vs 501.8 ms bf16 with score drift max |d| 0.004 (PERF.md) —
+    bench.py turns it on for the inference headline (UNIBEV_FP8=0 opts
+    out); training keeps bf16 (the reference's fp32-forced zones).
+    DCNv2 tables ALWAYS stay bf16: the fp8 quad-packed DCN path measured
+    +321 ms (PERF.md, round 3) and is reachable only through ops tests."""
+    sparse_table_dtype = "fp8" if fp8_tables else "bf16"
+    table_dtype = "bf16"
     dim = DIM
     img_attn = [
         dict(type="MultiScaleDeformableAttention", embed_dims=dim, num_levels=1),
         dict(deformable_attention=dict(embed_dims=dim, num_points=8,
                                        num_levels=1),
-             rebatch_k=12800),
+             # Per-camera query capacity.  Measured hit counts at 200x200
+             # BEV / 108 m grid: f=1266 cams 7571 pillars, the wide rear
+             # f~=809 cam 10000 (mount offsets only shrink it); SCA cost is
+             # linear in K.  10240 = 80*128 lanes, 2.4% headroom over the
+             # worst camera; the sown sca_topk_overflow asserts 0 dropped
+             # hits at runtime (encoders.py:163-169).
+             rebatch_k=10240),
     ]
     pts_attn = [
         dict(type="MultiScaleDeformableAttention", embed_dims=dim, num_levels=1),
@@ -67,7 +78,7 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
                                 encoder_paddings=((0, 0, 1), (0, 0, 1),
                                                   (0, 0, (0, 1, 1)), (0, 0)),
                                 capacities=(max_voxels, 90000, 60000, 40000),
-                                table_dtype=table_dtype),
+                                table_dtype=sparse_table_dtype),
         pts_backbone=dict(in_channels=256, out_channels=(128, 256),
                           layer_nums=(5, 5), layer_strides=(1, 2)),
         pts_neck=dict(in_channels=(128, 256), out_channels=(dim // 2, dim // 2),
