@@ -147,18 +147,21 @@ def bench_train_step(batch_size: int = 1):
     peak = 197e12   # v5e bf16 peak
     mfu = flops / best / peak if flops else None
 
-    # HBM fit, straight from the compiled step (VERDICT r3 #6: the r03 OOM
-    # was invisible until the driver ran; this keeps headroom in every
-    # round's artifact).  15.75 GiB = usable HBM per XLA's own OOM text.
-    headroom_mb = None
+    # HBM accounting from the compiled step (VERDICT r3 #6: the r03 OOM was
+    # invisible until the driver ran).  NOTE: temp+args is NOT the scheduled
+    # peak XLA's compile-time OOM check uses (measured: a running step
+    # reported temp+args 450 MB over the 15.75 GiB line) — the authoritative
+    # fit signal is that this compile+run succeeded at all; the size is
+    # recorded for round-over-round trend only.
+    hbm_temp_args_mb = None
     try:
         ma = compiled.memory_analysis()
         used = ((getattr(ma, "temp_size_in_bytes", 0) or 0)
                 + (getattr(ma, "argument_size_in_bytes", 0) or 0))
-        headroom_mb = round((15.75 * 2**30 - used) / 2**20, 1)
+        hbm_temp_args_mb = round(used / 2**20, 1)
     except Exception:
         pass
-    return best, (flops / 1e12 if flops else None), mfu, headroom_mb
+    return best, (flops / 1e12 if flops else None), mfu, hbm_temp_args_mb
 
 
 def main():
@@ -177,7 +180,7 @@ def main():
     args = p.parse_args()
 
     if args.train:
-        best, tflop, mfu, headroom_mb = bench_train_step(args.batch)
+        best, tflop, mfu, hbm_mb = bench_train_step(args.batch)
         print(json.dumps({
             "metric": "flagship LC train step seconds (fwd+bwd+AdamW, 1 chip)",
             "value": round(best, 3),
@@ -186,7 +189,7 @@ def main():
             "batch": args.batch,
             "step_tflop": round(tflop, 2) if tflop else None,
             "mfu": round(mfu, 4) if mfu else None,
-            "hbm_headroom_mb": headroom_mb,
+            "hbm_temp_args_mb": hbm_mb,   # trend only; fit == this ran
             "device": str(jax.devices()[0]),
         }))
         return
@@ -233,7 +236,7 @@ def main():
             rec["train_s"] = sub["value"]
             rec["step_tflop"] = sub.get("step_tflop")
             rec["mfu"] = sub.get("mfu")
-            rec["hbm_headroom_mb"] = sub.get("hbm_headroom_mb")
+            rec["hbm_temp_args_mb"] = sub.get("hbm_temp_args_mb")
 
     print(json.dumps(rec))
 

@@ -46,11 +46,14 @@ def _mem_record(compiled) -> dict:
         v = getattr(ma, k, None)
         if v is not None:
             rec[k.replace("_size_in_bytes", "_mb")] = round(v / 2**20, 1)
-    # peak = args + temps (outputs alias donated args in the train step)
+    # NOTE: temp+args is NOT the scheduled peak XLA's compile-time OOM check
+    # enforces (a running step has been measured with temp+args 450 MB over
+    # the 15.75 GiB line).  The authoritative fit signal is that the compile
+    # SUCCEEDED — XLA rejects programs whose scheduled peak exceeds HBM at
+    # compile time (the r03 failure mode).  Sizes recorded for trend only.
     temp = getattr(ma, "temp_size_in_bytes", 0) or 0
     arg = getattr(ma, "argument_size_in_bytes", 0) or 0
-    rec["peak_gb"] = round((temp + arg) / 2**30, 3)
-    rec["headroom_mb"] = round((V5E_HBM - temp - arg) / 2**20, 1)
+    rec["temp_plus_args_gb"] = round((temp + arg) / 2**30, 3)
     return rec
 
 
@@ -114,7 +117,7 @@ def main():
                    if k.startswith("UNIBEV_")}}
     try:
         rec.update(check_infer() if args.infer else check_train(args.batch))
-        rec["fits"] = rec.get("headroom_mb", 0) > 0
+        rec["fits"] = True   # compile succeeded == XLA's own peak check passed
     except Exception as e:
         msg = str(e)
         rec["fits"] = False
