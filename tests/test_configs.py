@@ -102,7 +102,7 @@ def test_config_model_equals_flagship_model():
         return dict(t["img_encoder"]["transformerlayers"]["attn_cfgs"][1])
 
     sc, sr = sca_cfg(cfg_model), sca_cfg(ref_model)
-    assert sc["rebatch_k"] == sr["rebatch_k"] == 12800
+    assert sc["rebatch_k"] == sr["rebatch_k"] == 10240
     assert dict(sc["deformable_attention"])["num_points"] == \
         dict(sr["deformable_attention"])["num_points"] == 8
 

@@ -612,3 +612,37 @@ def bench_msdabwd():
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"
     globals()[f"bench_{which}"]()
+
+
+def bench_s16table():
+    """VERDICT r4 #3c: would s16-packing the window3 index tables (2 entries
+    per s32 lane — capacities 90k/60k/40k fit u16) speed the slow-window
+    lookups?  Compares 128-lane row gathers from an N-entry s32 table vs an
+    N/2-lane packed table + unpack, at the stage-0/1 grid sizes."""
+    rng = np.random.RandomState(0)
+    n_rows = 1_000_000
+    for n_entries, label in ((41 * 1440 * 1440, "stage0 85M"),
+                             (21 * 720 * 720, "stage1 10.9M"),
+                             (11 * 360 * 360, "stage2 1.4M")):
+        nrow32 = n_entries // 128
+        tab32 = jnp.asarray(
+            rng.randint(0, 90000, (nrow32, 128)), jnp.int32)
+        idx32 = jnp.asarray(rng.randint(0, nrow32, n_rows), jnp.int32)
+        fn32 = lambda t, i: jnp.take(t, i, axis=0)
+        dt = bench(fn32, tab32, idx32, name=f"{label} s32 row gather")
+        print(f"   -> {dt / n_rows * 1e9:.2f} ns/row "
+              f"(table {nrow32 * 128 * 4 / 1e6:.0f} MB)")
+
+        nrow16 = n_entries // 256          # 2 entries per lane
+        tab16 = jnp.asarray(
+            rng.randint(0, 2**31 - 1, (nrow16, 128)), jnp.int32)
+        idx16 = jnp.asarray(rng.randint(0, nrow16, n_rows), jnp.int32)
+
+        def fn16(t, i):
+            rows = jnp.take(t, i, axis=0)
+            lo = rows & jnp.int32(0xFFFF)
+            hi = (rows >> 16) & jnp.int32(0xFFFF)
+            return lo + hi
+        dt = bench(fn16, tab16, idx16, name=f"{label} s16-packed gather+unpack")
+        print(f"   -> {dt / n_rows * 1e9:.2f} ns/row "
+              f"(table {nrow16 * 128 * 4 / 1e6:.0f} MB)")
