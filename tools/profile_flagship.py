@@ -171,8 +171,13 @@ def main():
     from unibev_tpu.flagship import build_flagship, synthetic_batch
     from unibev_tpu.models.detectors.unibev import UniBEV
 
+    # match bench.py's inference default (fp8 sparse tables) so the trace
+    # attributes the same graph the headline measures; UNIBEV_FP8=0 opts out
+    fp8 = (os.environ.get("UNIBEV_FP8", "1") == "1" and "L" in args.modality
+           and not args.train)
     model = build_flagship(use_lidar="L" in args.modality,
-                           use_camera="C" in args.modality)
+                           use_camera="C" in args.modality,
+                           fp8_tables=fp8)
     rng = np.random.RandomState(0)
     batch = synthetic_batch(rng)
     variables = jax.jit(lambda b: model.init(
