@@ -609,9 +609,6 @@ def bench_msdabwd():
     if which in ("all", "ptssca"):
         run(8, 200, 200, 40000, 8, "ptssca")
 
-if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "gather"
-    globals()[f"bench_{which}"]()
 
 
 def bench_s16table():
@@ -646,3 +643,225 @@ def bench_s16table():
         dt = bench(fn16, tab16, idx16, name=f"{label} s16-packed gather+unpack")
         print(f"   -> {dt / n_rows * 1e9:.2f} ns/row "
               f"(table {nrow16 * 128 * 4 / 1e6:.0f} MB)")
+
+
+def bench_msdadm():
+    """D-major corner packing for the slab MSDA forward: rows laid out
+    (d*4 + corner) so the corner lerp is ONE dense-lane mul (weights tiled
+    from 1D per-corner arrays) and the P-sum + corner-sum are dense-lane
+    reduces — vs the current corner-major slices producing (., D=32)
+    4x-padded intermediates (trace: ~7 ms of post-gather elementwise per
+    TSA call at the 2 ms dense-traffic floor).  Also probes whether the
+    earlier MXU-reduction failure (PERF.md: 13.3 vs 6.7 ms — XLA
+    materialized broadcast corner-weight planes) was the corner-MAJOR
+    layout's fault."""
+    import unibev_tpu.ops.msda as M
+
+    def run(BH, H, W, Q, P, label):
+        D = 32
+        rng = np.random.RandomState(0)
+        value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+        loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+        attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+
+        bench(lambda v, l, a: M._slab_level_fast(v, H, W, l, a),
+              value, loc, attn, name=f"{label} corner-major (current)")
+
+        def dm(value, loc, attn):
+            TR = (H + 1) * (W + 1)
+            v = value.reshape(BH, H, W, D)
+            v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            v4 = jnp.stack([v[:, :-1, :-1], v[:, :-1, 1:],
+                            v[:, 1:, :-1], v[:, 1:, 1:]],
+                           axis=-1)                    # (BH, H+1, W+1, D, 4)
+            v4 = v4.reshape(BH, TR, 4 * D)
+
+            x = loc[..., 0] * W - 0.5
+            y = loc[..., 1] * H - 0.5
+            valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+            xp = x + 1.0
+            yp = y + 1.0
+            x0 = jnp.floor(xp)
+            y0 = jnp.floor(yp)
+            lx = (xp - x0).astype(value.dtype)
+            ly = (yp - y0).astype(value.dtype)
+            x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+            y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+            idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
+
+            w = (attn * valid.astype(attn.dtype)).astype(value.dtype) \
+                .reshape(BH, Q * P)
+            lyf = ly.reshape(BH, Q * P) * w
+            lxf = lx.reshape(BH, Q * P)
+            w00 = (w - lyf) * (1 - lxf)
+            w01 = (w - lyf) * lxf
+            w10 = lyf * (1 - lxf)
+            w11 = lyf * lxf
+            w4 = jnp.stack([w00, w01, w10, w11], axis=-1)  # (BH, QP, 4)
+
+            bytes_per_head = TR * 4 * D * value.dtype.itemsize
+            G = max(1, min(BH, int(20e6 // max(bytes_per_head, 1))))
+            while BH % G:
+                G -= 1
+            offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]
+            outs = []
+            for g in range(0, BH, G):
+                tab = v4[g:g + G].reshape(G * TR, 4 * D)
+                fidx = (idx[g:g + G] + offs).reshape(-1)
+                rows = tab.at[fidx].get(mode="promise_in_bounds")
+                rows = rows.reshape(G, Q * P, D, 4)
+                wrows = rows * w4[g:g + G, :, None, :]
+                s1 = wrows.reshape(G, Q, P, 4 * D).sum(axis=2)   # dense lanes
+                outs.append(s1.reshape(G, Q, D, 4).sum(-1))      # (G, Q, D)
+            return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+        out_ref = M._slab_level_fast(value, H, W, loc, attn)
+        out_dm = dm(value, loc, attn)
+        err = float(jnp.max(jnp.abs(out_ref.astype(jnp.float32)
+                                    - out_dm.astype(jnp.float32))))
+        print(f"{label} dm-vs-ref max|d| = {err:.5f}")
+        bench(dm, value, loc, attn, name=f"{label} D-major")
+
+    run(8, 200, 200, 40000, 4, "tsa")
+    run(8, 200, 200, 40000, 8, "ptssca")
+
+
+
+
+def bench_msdagroup():
+    """Head-group size vs gather-window cliff for the slab MSDA forward:
+    per-head tables are 10.3 MB (TSA/ptsSCA), so the 20 MB window forces
+    G=1 (8 separate gather+lerp fusions).  Measures G in {1,2,4,8} — if the
+    cliff is soft above 20 MB, bigger groups amortize the per-group fusion
+    overhead seen in-model (11.3 ms vs 5.8 standalone per TSA call)."""
+    import unibev_tpu.ops.msda as M
+
+    def run(BH, H, W, Q, P, label):
+        D = 32
+        rng = np.random.RandomState(0)
+        value = jnp.asarray(rng.randn(BH, H * W, D), jnp.bfloat16)
+        loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.float32)
+        attn = jnp.asarray(rng.rand(BH, Q, P), jnp.bfloat16)
+
+        def fast_g(value, loc, attn, G):
+            TR = (H + 1) * (W + 1)
+            v = value.reshape(BH, H, W, D)
+            v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            v4 = jnp.concatenate(
+                [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
+                axis=-1).reshape(BH, TR, 4 * D)
+            x = loc[..., 0] * W - 0.5
+            y = loc[..., 1] * H - 0.5
+            valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+            xp = x + 1.0
+            yp = y + 1.0
+            x0 = jnp.floor(xp)
+            y0 = jnp.floor(yp)
+            lx = (xp - x0).astype(value.dtype)
+            ly = (yp - y0).astype(value.dtype)
+            x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+            y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+            idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
+            w = (attn * valid.astype(attn.dtype)).astype(value.dtype).reshape(
+                BH, Q * P, 1)
+            lyf = ly.reshape(BH, Q * P, 1) * w
+            lxf = lx.reshape(BH, Q * P, 1)
+            w00 = (w - lyf) * (1 - lxf)
+            w01 = (w - lyf) * lxf
+            w10 = lyf * (1 - lxf)
+            w11 = lyf * lxf
+            offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]
+            outs = []
+            for g in range(0, BH, G):
+                tab = v4[g:g + G].reshape(G * TR, 4 * D)
+                fidx = (idx[g:g + G] + offs).reshape(-1)
+                rows = tab.at[fidx].get(mode="promise_in_bounds")
+                rows = rows.reshape(G, Q * P, 4 * D)
+                samp = (rows[..., 0 * D:1 * D] * w00[g:g + G]
+                        + rows[..., 1 * D:2 * D] * w01[g:g + G]
+                        + rows[..., 2 * D:3 * D] * w10[g:g + G]
+                        + rows[..., 3 * D:4 * D] * w11[g:g + G])
+                outs.append(samp.reshape(G, Q, P, D).sum(axis=2))
+            return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+        for G in (1, 2, 4, 8):
+            bench(lambda v, l, a, G=G: fast_g(v, l, a, G),
+                  value, loc, attn,
+                  name=f"{label} G={G} (table {G * 10.3:.0f} MB)")
+
+    run(8, 200, 200, 40000, 4, "tsa")
+    run(8, 200, 200, 40000, 8, "ptssca")
+
+
+
+
+def bench_msdageom():
+    """Cost of the MSDA geometry chain in the NARROW (BH, Q, P[, 2]) layout
+    (every pass reads/writes 16-64x lane-padded tiles) vs the same math on
+    pre-split WIDE (BH, Q*P) loc_x/loc_y arrays.  The narrow chain is what
+    runs in-model today (loc built as (..., P, 2) in deformable.py); the
+    wide form is what an xy-blocked sampling_offsets layout would enable."""
+    def geom_narrow(loc, attn):
+        BH, Q, P, _ = loc.shape
+        W = H = 200
+        x = loc[..., 0] * W - 0.5
+        y = loc[..., 1] * H - 0.5
+        valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+        xp = x + 1.0
+        yp = y + 1.0
+        x0 = jnp.floor(xp)
+        y0 = jnp.floor(yp)
+        lx = (xp - x0).astype(jnp.bfloat16)
+        ly = (yp - y0).astype(jnp.bfloat16)
+        x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+        y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+        idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
+        w = (attn * valid.astype(attn.dtype)).astype(jnp.bfloat16).reshape(
+            BH, Q * P, 1)
+        lyf = ly.reshape(BH, Q * P, 1) * w
+        lxf = lx.reshape(BH, Q * P, 1)
+        w00 = (w - lyf) * (1 - lxf)
+        w11 = lyf * lxf
+        return idx.astype(jnp.float32).sum(-1)[:, None] + (
+            w00 + w11).astype(jnp.float32).sum(1)
+
+    def geom_wide(loc_x, loc_y, attn2):
+        BH, QP = loc_x.shape
+        W = H = 200
+        x = loc_x * W - 0.5
+        y = loc_y * H - 0.5
+        valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
+        xp = x + 1.0
+        yp = y + 1.0
+        x0 = jnp.floor(xp)
+        y0 = jnp.floor(yp)
+        lx = (xp - x0).astype(jnp.bfloat16)
+        ly = (yp - y0).astype(jnp.bfloat16)
+        x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+        y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+        idx = y0c * (W + 1) + x0c
+        w = (attn2 * valid.astype(attn2.dtype)).astype(jnp.bfloat16)
+        lyf = ly * w
+        lxf = lx
+        w00 = (w - lyf) * (1 - lxf)
+        w11 = lyf * lxf
+        return idx.astype(jnp.float32).sum(-1)[:, None] + (
+            w00 + w11).astype(jnp.float32).sum(-1)[:, None]
+
+    rng = np.random.RandomState(0)
+    for P, label in ((4, "tsa"), (8, "ptssca")):
+        BH, Q = 8, 40000
+        # loc in bf16 / attn in f32 so the harness perturbs LOC --
+        # otherwise the whole geometry chain hoists out of the timing loop
+        loc = jnp.asarray(rng.rand(BH, Q, P, 2), jnp.bfloat16)
+        attn = jnp.asarray(rng.rand(BH, Q, P), jnp.float32)
+        bench(geom_narrow, loc, attn, name=f"{label} geom narrow (B,Q,P,2)")
+        loc_x = jnp.asarray(rng.rand(BH, Q * P), jnp.bfloat16)
+        loc_y = jnp.asarray(rng.rand(BH, Q * P), jnp.float32)
+        attn2 = jnp.asarray(rng.rand(BH, Q * P), jnp.float32)
+        bench(geom_wide, loc_x, loc_y, attn2, name=f"{label} geom wide (BH,QP)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "gather"
+    globals()[f"bench_{which}"]()

@@ -67,30 +67,25 @@ def _prep_bh(value, sampling_locations, attention_weights):
     return value_bh, loc_bh, attn_bh, B, nh, D, Q, L
 
 
-def _slab_level(value: jnp.ndarray, H: int, W: int,
-                loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
-    """One level via zero-ring padding + corner-packed single-row gather.
+def _split_2d(loc: jnp.ndarray, attn: jnp.ndarray):
+    """(BH,Q,P,2)/(BH,Q,P) -> dense 2D (BH, QP) x / y / attn.
 
-    TPU gathers pad every gathered slice to full (sublane, 128-lane) tiles, so
-    fetching four D=32 corners separately wastes 4x bandwidth.  Instead we
-    precompute ``v4[y, x] = concat(v[y,x], v[y,x+1], v[y+1,x], v[y+1,x+1])``
-    (one 4*D = 128-lane row for the head_dim=32 config): ONE gather row per
-    sample fetches all four bilinear corners with zero padding waste.
-
-    value: (BH, H*W, D); loc: (BH, Q, P, 2); attn: (BH, Q, P) -> (BH, Q, D).
+    The narrow-minor (…, P, 2) layouts pad 16-64x under TPU tiling; every
+    geometry pass over them costs the padded bytes.  One read each here, and
+    the whole downstream chain (floor/clip/idx/corner weights and the custom
+    backward) runs on dense (BH, QP) arrays.
     """
-    BH, _, D = value.shape
-    Q, P = loc.shape[1], loc.shape[2]
-    v = value.reshape(BH, H, W, D)
-    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))       # zero ring
-    # corner-packed map over the padded grid: index (y0, x0) in [0,H]x[0,W]
-    v4 = jnp.concatenate(
-        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
-        axis=-1)                                           # (BH, H+1, W+1, 4D)
-    v4 = v4.reshape(BH, (H + 1) * (W + 1), 4 * D)
+    BH, Q, P = attn.shape
+    x2 = loc[..., 0].reshape(BH, Q * P)
+    y2 = loc[..., 1].reshape(BH, Q * P)
+    a2 = attn.reshape(BH, Q * P)
+    return x2, y2, a2
 
-    x = loc[..., 0] * W - 0.5
-    y = loc[..., 1] * H - 0.5
+
+def _geom_2d(x2, y2, H: int, W: int, dtype):
+    """Shared dense geometry: pixel coords, validity, corner index, lerps."""
+    x = x2 * W - 0.5
+    y = y2 * H - 0.5
     # whole-point validity: anything in [-1, size) touches a real texel or
     # the zero ring; farther out contributes exactly zero.
     valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
@@ -98,33 +93,61 @@ def _slab_level(value: jnp.ndarray, H: int, W: int,
     yp = y + 1.0
     x0 = jnp.floor(xp)
     y0 = jnp.floor(yp)
-    lx = (xp - x0).astype(value.dtype)
-    ly = (yp - y0).astype(value.dtype)
+    lx = (xp - x0).astype(dtype)
+    ly = (yp - y0).astype(dtype)
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
     y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
+    idx = y0c * (W + 1) + x0c                      # (BH, QP)
+    return idx, lx, ly, valid
 
-    idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
+
+def _corner_weights(a2, lx, ly, valid, dtype):
+    """Bilinear corner weights with attention + validity folded in; all
+    (BH, QP) dense."""
+    w = (a2 * valid.astype(a2.dtype)).astype(dtype)
+    lyf = ly * w
+    w00 = (w - lyf) * (1 - lx)
+    w01 = (w - lyf) * lx
+    w10 = lyf * (1 - lx)
+    w11 = lyf * lx
+    return w00, w01, w10, w11
+
+
+def _pack_v4(value: jnp.ndarray, H: int, W: int):
+    """Corner-packed map over the zero-ring-padded grid: index (y0, x0) in
+    [0,H]x[0,W]; one 4*D = 128-lane row fetches all four bilinear corners
+    with zero padding waste (TPU gathers pad every slice to full tiles)."""
+    BH, _, D = value.shape
+    v = value.reshape(BH, H, W, D)
+    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))       # zero ring
+    v4 = jnp.concatenate(
+        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
+        axis=-1)                                           # (BH, H+1, W+1, 4D)
+    return v4.reshape(BH, (H + 1) * (W + 1), 4 * D)
+
+
+def _slab2(value, H: int, W: int, P: int, x2, y2, a2) -> jnp.ndarray:
+    """Reference (f32) path: one batched take_along_axis gather.
+
+    value: (BH, H*W, D); x2/y2/a2: (BH, QP) -> (BH, Q, D).
+    """
+    BH, _, D = value.shape
+    Q = x2.shape[1] // P
+    v4 = _pack_v4(value, H, W)
+    idx, lx, ly, valid = _geom_2d(x2, y2, H, W, value.dtype)
     rows = jnp.take_along_axis(v4, idx[:, :, None], axis=1)  # (BH, QP, 4D)
-
-    # fold attention weight and validity into the bilinear corner weights and
-    # reduce via slice-fma (no (BH, QP, 4, D) intermediate)
-    w = (attn * valid.astype(attn.dtype)).astype(value.dtype).reshape(BH, Q * P, 1)
-    lyf = ly.reshape(BH, Q * P, 1) * w
-    lxf = lx.reshape(BH, Q * P, 1)
-    w00 = (w - lyf) * (1 - lxf)
-    w01 = (w - lyf) * lxf
-    w10 = lyf * (1 - lxf)
-    w11 = lyf * lxf
-    samp = (rows[..., 0 * D:1 * D] * w00 + rows[..., 1 * D:2 * D] * w01
-            + rows[..., 2 * D:3 * D] * w10 + rows[..., 3 * D:4 * D] * w11)
+    w00, w01, w10, w11 = _corner_weights(a2, lx, ly, valid, value.dtype)
+    samp = (rows[..., 0 * D:1 * D] * w00[:, :, None]
+            + rows[..., 1 * D:2 * D] * w01[:, :, None]
+            + rows[..., 2 * D:3 * D] * w10[:, :, None]
+            + rows[..., 3 * D:4 * D] * w11[:, :, None])
     # NOTE: keep the P-sum as a reduce on the 4D view — XLA fuses it into
     # the lerp producer; a 2D slice-add variant materialized the pre-sum
     # tensor and measured ~13 ms slower at the SCA-img shape.
     return samp.reshape(BH, Q, P, D).sum(axis=2)
 
 
-def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
-                     loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+def _slab2_fast(value, H: int, W: int, P: int, x2, y2, a2) -> jnp.ndarray:
     """Small-table fast path: per-head-group gathers from <=20 MB tables.
 
     The v5e gather engine runs at ~3.4 ns/row when the source table stays
@@ -135,42 +158,19 @@ def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
     extra pass); corner weights fold attention weight and validity.
     """
     BH, _, D = value.shape
-    Q, P = loc.shape[1], loc.shape[2]
-    v = value.reshape(BH, H, W, D)
-    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))       # zero ring
-    v4 = jnp.concatenate(
-        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
-        axis=-1)                                           # (BH, H+1, W+1, 4D)
+    Q = x2.shape[1] // P
     TR = (H + 1) * (W + 1)
-    v4 = v4.reshape(BH, TR, 4 * D)
-
-    x = loc[..., 0] * W - 0.5
-    y = loc[..., 1] * H - 0.5
-    valid = (x > -1.0) & (x < W) & (y > -1.0) & (y < H)
-    xp = x + 1.0
-    yp = y + 1.0
-    x0 = jnp.floor(xp)
-    y0 = jnp.floor(yp)
-    lx = (xp - x0).astype(value.dtype)
-    ly = (yp - y0).astype(value.dtype)
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
-    idx = (y0c * (W + 1) + x0c).reshape(BH, Q * P)
-
-    w = (attn * valid.astype(attn.dtype)).astype(value.dtype).reshape(
-        BH, Q * P, 1)
-    lyf = ly.reshape(BH, Q * P, 1) * w
-    lxf = lx.reshape(BH, Q * P, 1)
-    w00 = (w - lyf) * (1 - lxf)
-    w01 = (w - lyf) * lxf
-    w10 = lyf * (1 - lxf)
-    w11 = lyf * lxf
+    v4 = _pack_v4(value, H, W)
+    idx, lx, ly, valid = _geom_2d(x2, y2, H, W, value.dtype)
+    w00, w01, w10, w11 = _corner_weights(a2, lx, ly, valid, value.dtype)
 
     # NOTE: an MXU-reduction variant (rows * wide-broadcast weights, then a
     # stacked-identity matmul over (P, corner)) DEVICE-traced 2x slower than
     # this slice-FMA form (13.3 vs 6.7 ms at the TSA shape) — XLA
-    # materialized the broadcast corner-weight planes.  Wall-clock timing
-    # under the axon relay is unreliable (block_until_ready returns early);
+    # materialized the broadcast corner-weight planes.  A D-major corner
+    # packing (lane = d*4+corner, dense-lane reduces) traced 10x SLOWER
+    # (60.4 vs 5.8 ms): the (., D, 4) minor-split views materialize 32x
+    # lane-padded.  Wall-clock timing under the axon relay is unreliable;
     # trust only trace-derived times for these comparisons.
     bytes_per_head = TR * 4 * D * value.dtype.itemsize
     G = max(1, min(BH, int(20e6 // max(bytes_per_head, 1))))
@@ -183,12 +183,29 @@ def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
         fidx = (idx[g:g + G] + offs).reshape(-1)
         rows = tab.at[fidx].get(mode="promise_in_bounds")
         rows = rows.reshape(G, Q * P, 4 * D)
-        samp = (rows[..., 0 * D:1 * D] * w00[g:g + G]
-                + rows[..., 1 * D:2 * D] * w01[g:g + G]
-                + rows[..., 2 * D:3 * D] * w10[g:g + G]
-                + rows[..., 3 * D:4 * D] * w11[g:g + G])
+        samp = (rows[..., 0 * D:1 * D] * w00[g:g + G, :, None]
+                + rows[..., 1 * D:2 * D] * w01[g:g + G, :, None]
+                + rows[..., 2 * D:3 * D] * w10[g:g + G, :, None]
+                + rows[..., 3 * D:4 * D] * w11[g:g + G, :, None])
         outs.append(samp.reshape(G, Q, P, D).sum(axis=2))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def _slab_level(value: jnp.ndarray, H: int, W: int,
+                loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+    """Narrow-interface wrapper over the dense-2D core (kept for tests /
+    the Pallas reference kernel)."""
+    P = loc.shape[2]
+    x2, y2, a2 = _split_2d(loc, attn)
+    return _slab2(value, H, W, P, x2, y2, a2)
+
+
+def _slab_level_fast(value: jnp.ndarray, H: int, W: int,
+                     loc: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+    """Narrow-interface wrapper over the dense-2D fast core (tests)."""
+    P = loc.shape[2]
+    x2, y2, a2 = _split_2d(loc, attn)
+    return _slab2_fast(value, H, W, P, x2, y2, a2)
 
 
 def _onehot_level(value: jnp.ndarray, H: int, W: int,
@@ -262,23 +279,31 @@ def _onehot_level(value: jnp.ndarray, H: int, W: int,
     return out[:, :Q]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _slab_level_op(H: int, W: int, value, loc, attn):
-    """One level with a hand-written backward: the autodiff d_value is a
-    RANDOM scatter-add (~10x slower than gathers at the same row count on
-    TPU); here the corner contributions are argsorted by target row first so
-    the scatter runs with indices_are_sorted=True (sequential memory), then
-    the corner-packed adjoint unpacks to the value grid with shifted adds."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _slab_level_op2(H: int, W: int, P: int, value, x2, y2, a2):
+    """Dense-2D slab level with a hand-written backward: the autodiff
+    d_value is a RANDOM scatter-add (~10x slower than gathers at the same
+    row count on TPU).  All loc/attn traffic — forward geometry, backward
+    chunking, and the returned cotangents — is (BH, QP) dense, so no
+    16-64x lane-padded (…, P[, 2]) tile ever crosses the op boundary."""
     if value.dtype == jnp.bfloat16:
-        return _slab_level_fast(value, H, W, loc, attn)
-    return _slab_level(value, H, W, loc, attn)
+        return _slab2_fast(value, H, W, P, x2, y2, a2)
+    return _slab2(value, H, W, P, x2, y2, a2)
 
 
-def _slab_level_op_fwd(H, W, value, loc, attn):
-    return _slab_level_op(H, W, value, loc, attn), (value, loc, attn)
+def _slab_level_op(H: int, W: int, value, loc, attn):
+    """Narrow-interface wrapper (tests): grads flow through the 2D VJP plus
+    the (fused) slice/reshape adjoints of the split."""
+    P = loc.shape[2]
+    x2, y2, a2 = _split_2d(loc, attn)
+    return _slab_level_op2(H, W, P, value, x2, y2, a2)
 
 
-def _slab_level_op_bwd(H, W, res, g):
+def _slab_level_op2_fwd(H, W, P, value, x2, y2, a2):
+    return _slab_level_op2(H, W, P, value, x2, y2, a2), (value, x2, y2, a2)
+
+
+def _slab_level_op2_bwd(H, W, P, res, g):
     """Wide-layout discipline throughout: all big intermediates are either
     (BH, QPc) 2D or (BH, QPc, 4D=128-lane) — per-corner stacks/5D reshapes
     with <128-lane minors pad 4-32x under TPU tiling and OOMed the flagship
@@ -290,17 +315,13 @@ def _slab_level_op_bwd(H, W, res, g):
     concurrently (plus XLA's narrow per-corner fusion outputs padding 4x)
     and pushed the flagship train step 134 MB past HBM.
     """
-    value, loc, attn = res
+    value, x2, y2, a2 = res
     BH, _, D = value.shape
-    Q, P = loc.shape[1], loc.shape[2]
+    Q = x2.shape[1] // P
     TR = (H + 1) * (W + 1)
 
     # corner-packed table, built ONCE (shared by every chunk)
-    v = value.reshape(BH, H, W, D)
-    v = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    v4 = jnp.concatenate(
-        [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
-        axis=-1).reshape(BH, TR, 4 * D)
+    v4 = _pack_v4(value, H, W)
 
     row_bytes_per_q = BH * P * 4 * D * value.dtype.itemsize
     qc = max(1, int(BWD_CHUNK_BYTES // max(row_bytes_per_q, 1)))
@@ -326,10 +347,10 @@ def _slab_level_op_bwd(H, W, res, g):
         Qc = q1 - q0
         QP = Qc * P
 
-        # ---- geometry, all (BH, QP)
-        loc_c = loc[:, q0:q1]
-        x = (loc_c[..., 0] * W - 0.5).reshape(BH, QP)
-        y = (loc_c[..., 1] * H - 0.5).reshape(BH, QP)
+        # ---- geometry, all (BH, QP) from the dense residuals
+        sl_q = slice(q0 * P, q1 * P)
+        x = x2[:, sl_q] * W - 0.5
+        y = y2[:, sl_q] * H - 0.5
         valid = ((x > -1.0) & (x < W)
                  & (y > -1.0) & (y < H)).astype(jnp.float32)
         xp = x + 1.0
@@ -355,7 +376,7 @@ def _slab_level_op_bwd(H, W, res, g):
         rows = (jnp.concatenate(row_parts, axis=0) if len(row_parts) > 1
                 else row_parts[0]).reshape(BH, QP, 4 * D)
 
-        a = attn[:, q0:q1].astype(jnp.float32).reshape(BH, QP) * valid
+        a = a2[:, sl_q].astype(jnp.float32) * valid
         u00 = (1 - lx) * (1 - ly)
         u01 = lx * (1 - ly)
         u10 = (1 - lx) * ly
@@ -383,7 +404,7 @@ def _slab_level_op_bwd(H, W, res, g):
 
         gv0, gv1, gv2, gv3 = cdot(0), cdot(1), cdot(2), cdot(3)
         gs = u00 * gv0 + u01 * gv1 + u10 * gv2 + u11 * gv3
-        d_attn_parts.append((gs * valid).astype(attn.dtype))   # (BH, QP)
+        d_attn_parts.append((gs * valid).astype(a2.dtype))     # (BH, QP)
 
         dx = ((gv1 - gv0) * (1 - ly) + (gv3 - gv2) * ly) * a
         dy = ((gv2 - gv0) * (1 - lx) + (gv3 - gv1) * lx) * a
@@ -422,16 +443,14 @@ def _slab_level_op_bwd(H, W, res, g):
                    else parts[0]).reshape(BH, TR, 4 * D)
         d_v4 = chunk_d if d_v4 is None else d_v4 + chunk_d
 
-    # one narrow-minor materialization for the whole backward: concat the
-    # dense (BH, QP) chunk pieces, THEN shape the (.., P[, 2]) outputs once
-    d_attn = (d_attn_parts[0] if len(d_attn_parts) == 1
-              else jnp.concatenate(d_attn_parts, axis=1)).reshape(BH, Q, P)
-    dx_all = (d_loc_parts[0][0] if len(d_loc_parts) == 1
-              else jnp.concatenate([p[0] for p in d_loc_parts], axis=1))
-    dy_all = (d_loc_parts[0][1] if len(d_loc_parts) == 1
-              else jnp.concatenate([p[1] for p in d_loc_parts], axis=1))
-    d_loc = jnp.stack([dx_all, dy_all],
-                      axis=-1).reshape(BH, Q, P, 2).astype(loc.dtype)
+    # all loc/attn cotangents leave DENSE (BH, QP); any (.., P[, 2]) shaping
+    # happens in the caller's (fused) slice/reshape adjoints
+    d_a2 = (d_attn_parts[0] if len(d_attn_parts) == 1
+            else jnp.concatenate(d_attn_parts, axis=1))
+    d_x2 = (d_loc_parts[0][0] if len(d_loc_parts) == 1
+            else jnp.concatenate([p[0] for p in d_loc_parts], axis=1))
+    d_y2 = (d_loc_parts[0][1] if len(d_loc_parts) == 1
+            else jnp.concatenate([p[1] for p in d_loc_parts], axis=1))
     d_v4 = d_v4.reshape(BH, H + 1, W + 1, 4 * D)
 
     # unpack the corner-packed adjoint with shifted adds, then crop the ring
@@ -442,10 +461,10 @@ def _slab_level_op_bwd(H, W, res, g):
               + corner(2, (1, 0), (0, 1)) + corner(3, (1, 0), (1, 0)))
     d_value = d_vpad[:, 1:H + 1, 1:W + 1, :].reshape(
         BH, H * W, D).astype(value.dtype)
-    return d_value, d_loc, d_attn
+    return (d_value, d_x2.astype(x2.dtype), d_y2.astype(y2.dtype), d_a2)
 
 
-_slab_level_op.defvjp(_slab_level_op_fwd, _slab_level_op_bwd)
+_slab_level_op2.defvjp(_slab_level_op2_fwd, _slab_level_op2_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "query_chunk",

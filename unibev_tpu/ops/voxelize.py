@@ -86,14 +86,29 @@ def voxelize_and_encode(points: jnp.ndarray,
     seg = jnp.where(keep, voxel_id, max_voxels)                 # trash segment
 
     spoints = points[order]
-    feats_sum = jax.ops.segment_sum(
-        jnp.where(keep[:, None], spoints, 0.0), seg, num_segments=max_voxels + 1)[:-1]
-    counts = jax.ops.segment_sum(
-        keep.astype(jnp.int32), seg, num_segments=max_voxels + 1)[:-1]
+    # ONE fused scatter-add for features + count + key: TPU scatter cost is
+    # per ROW, not per lane (three separate segment ops measured 9.2 ms of
+    # the LC forward — 2 x s32[120001] fusions at 2.6 ms + the f32[5,...]
+    # at 3.9 ms; one (P, F+2) scatter costs the same as any one of them).
+    # The voxel key rides the sum by contributing ONCE, at each voxel's
+    # first kept point.
+    kf = keep.astype(points.dtype)
+    # keys up to Z*Y*X ~ 85M exceed f32's exact-int range (2^24): ride the
+    # sum as two exact halves (each < 2^15) contributed once per voxel.
+    kc = jnp.where(first, skey, 0)
+    payload = jnp.concatenate(
+        [jnp.where(keep[:, None], spoints, 0.0),
+         kf[:, None],                                           # count
+         (kf * (kc // 4096).astype(points.dtype))[:, None],
+         (kf * (kc % 4096).astype(points.dtype))[:, None]],
+        axis=1)                                                 # (P, F+3)
+    summed = jax.ops.segment_sum(payload, seg,
+                                 num_segments=max_voxels + 1)[:-1]
+    feats_sum = summed[:, :F]
+    counts = summed[:, F].astype(jnp.int32)
+    vkey = (summed[:, F + 1].astype(jnp.int32) * 4096
+            + summed[:, F + 2].astype(jnp.int32))
     feats = feats_sum / jnp.maximum(counts, 1)[:, None]
-
-    vkey = jax.ops.segment_max(
-        jnp.where(keep, skey, 0), seg, num_segments=max_voxels + 1)[:-1]
     mask = counts > 0
     cz = vkey // (Y * X)
     cy = (vkey // X) % Y
