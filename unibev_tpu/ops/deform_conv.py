@@ -152,12 +152,15 @@ def _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride, padding,
     w_flat = weight.astype(jnp.bfloat16)                   # (K*Cin, Cout)
     Cout = w_flat.shape[1]
 
-    # Per-sample-group gathers: the v5e gather engine runs ~3.4x faster when
-    # the source table stays under ~20 MB (tools/microbench.py dcn3), so loop
-    # over groups of samples whose stacked tables fit instead of one gather
-    # across all B tables (73 MB at stage-3 shape).
+    # Per-sample-group gathers.  DCN sampling is spatially local (offsets
+    # stay near each pixel), so the gathers run cache-friendly well past
+    # the microbench's ~20 MB random-access window; fewer, larger camera
+    # groups amortize the per-group gather/lerp fusion overhead (the same
+    # in-model finding as ops/msda.py's head grouping: G=1 -> G=2 was
+    # -24 ms LC).  26e6 pairs two cameras at the stage-3 shape (12.2 MB
+    # tables) and keeps three at stage-4.
     bytes_per_b = TR * 2 * Cin * 4
-    G = max(1, min(B, int(20e6 // max(bytes_per_b, 1))))
+    G = max(1, min(B, int(26e6 // max(bytes_per_b, 1))))
     while B % G:
         G -= 1
     offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]

@@ -334,10 +334,11 @@ def _slab_level_op2_bwd(H, W, P, res, g):
     n_chunks = max(1, -(-Q // qc))
     qc = -(-Q // n_chunks)
 
-    # head-group sizes for the fast-window re-gather (<=20 MB tables) and
+    # head-group sizes for the re-gather (2 heads per table — same
+    # locality argument and in-model measurement as the forward's G) and
     # the on-chip scatter targets (<=12 MB)
     bytes_per_head = TR * 4 * D * value.dtype.itemsize
-    Gg = max(1, min(BH, int(20e6 // max(bytes_per_head, 1))))
+    Gg = max(1, min(BH, int(21e6 // max(bytes_per_head, 1))))
     while BH % Gg:
         Gg -= 1
     offs_g = (jnp.arange(Gg, dtype=jnp.int32) * TR)[:, None]
