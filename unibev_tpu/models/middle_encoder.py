@@ -170,13 +170,13 @@ class SparseEncoder(nn.Module):
                  else None)
 
         # conv_input consumes the raw 5-channel voxel features — keep it
-        # exact: fp8-quantizing the inputs themselves is not a table trick
-        # (the bit-exact bf16 quad is fine)
+        # exact: quad_dtype='bf16' lets the bit-exact bf16 x-quad engage
+        # (its tiny table always fits here) while never fp8-quantizing the
+        # raw inputs.
         x = SubMConvBN(self.encoder_channels[0][0], dtype=self.dtype,
-                       quad_dtype=self.table_dtype,
+                       quad_dtype="bf16",
                        name="conv_input")(voxel_feats, nidx, mask, plan=plan,
-                                          qplan=None if use_quad else qplan,
-                                          train=train)
+                                          qplan=qplan, train=train)
 
         n_stages = len(self.encoder_channels)
         for i, blocks in enumerate(self.encoder_channels):

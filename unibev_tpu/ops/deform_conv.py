@@ -152,15 +152,13 @@ def _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride, padding,
     w_flat = weight.astype(jnp.bfloat16)                   # (K*Cin, Cout)
     Cout = w_flat.shape[1]
 
-    # Per-sample-group gathers.  DCN sampling is spatially local (offsets
-    # stay near each pixel), so the gathers run cache-friendly well past
-    # the microbench's ~20 MB random-access window; fewer, larger camera
-    # groups amortize the per-group gather/lerp fusion overhead (the same
-    # in-model finding as ops/msda.py's head grouping: G=1 -> G=2 was
-    # -24 ms LC).  26e6 pairs two cameras at the stage-3 shape (12.2 MB
-    # tables) and keeps three at stage-4.
+    # Per-sample-group gathers: per-camera tables (12.2 MB at stage 3)
+    # measured best.  Camera PAIRS (26e6 window) were tried after the
+    # ops/msda.py head-grouping win and measured NEUTRAL here (LC 411.6 vs
+    # 409.2 ms): the DCN already runs few, large per-camera fusions, so
+    # there is no per-group overhead to amortize.
     bytes_per_b = TR * 2 * Cin * 4
-    G = max(1, min(B, int(26e6 // max(bytes_per_b, 1))))
+    G = max(1, min(B, int(20e6 // max(bytes_per_b, 1))))
     while B % G:
         G -= 1
     offs = (jnp.arange(G, dtype=jnp.int32) * TR)[:, None]

@@ -131,10 +131,15 @@ def window3_lookup(pt: PackedTable, flat: jnp.ndarray):
     rows = pt.rows.at[row].get(mode="promise_in_bounds")     # (N, 128)
     d = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1) - lane[:, None]
     zero = jnp.zeros_like(rows)
-    left = jnp.where(d == 0, rows, zero).sum(axis=1)
-    cent = jnp.where(d == 1, rows, zero).sum(axis=1)
-    right = jnp.where(d == 2, rows, zero).sum(axis=1)
-    return left, cent, right
+    # ONE stacked reduction (3, N): three separate lane-select reduces each
+    # re-read the materialized (N, 128) rows buffer — 553 MB at the res-0
+    # shape, 4x the useful bytes; a single multi-output fusion lets the
+    # gather fuse into its only consumer and writes just the three dense
+    # (N,) outputs.
+    lcr = jnp.stack([jnp.where(d == 0, rows, zero).sum(axis=1),
+                     jnp.where(d == 1, rows, zero).sum(axis=1),
+                     jnp.where(d == 2, rows, zero).sum(axis=1)])
+    return lcr[0], lcr[1], lcr[2]
 
 
 def _flat_index(coords: jnp.ndarray, mask: jnp.ndarray,
@@ -796,9 +801,15 @@ def best_gather_conv(feats, neighbor_idx, weight, out_mask, plan=None,
     quadable = (qplan is not None and plan is not None
                 and feats.dtype == jnp.bfloat16
                 and neighbor_idx.shape[1] % 3 == 0)
-    use_quad8 = quadable and quad_dtype == "fp8" and in_window
-    use_quad16 = (quadable and not use_quad8
-                  and 2 * pack_bytes <= _FAST_GATHER_TABLE_BYTES)
+    # Prefer the bf16 x-quad whenever its 2x-pack table fits the window:
+    # SAME anchor-row count as the fp8 quad (rows cost per-row, not
+    # per-byte) but bit-exact and without the fp8 table build — traced
+    # 2.8 ms/conv of e4m3 convert passes at the stage-0 shape, more than
+    # the gather+matmul combined.  fp8 only pays off where the 2x table
+    # falls off the window (stages 1-2).
+    use_quad16 = quadable and 2 * pack_bytes <= _FAST_GATHER_TABLE_BYTES
+    use_quad8 = (quadable and not use_quad16
+                 and quad_dtype == "fp8" and in_window)
     use_pair = (plan is not None and feats.dtype == jnp.bfloat16
                 and in_window and neighbor_idx.shape[1] % 3 == 0)
     if subm:
