@@ -23,6 +23,7 @@ All shapes static; validity carried in masks.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -780,9 +781,15 @@ strided_xpair_conv.defvjp(_strided_xp_fwd, _strided_xp_bwd)
 
 
 # The v5e gather engine drops from ~3.3 to ~12+ ns/row once the source table
-# exceeds roughly this size (tools/microbench.py gather/subm benches); the
-# x-pair scheme only wins while its 2x-feats pack table stays under it.
-_FAST_GATHER_TABLE_BYTES = 20e6
+# exceeds roughly this size (tools/microbench.py gather/subm benches) — for
+# RANDOM indices.  MSDA/DCN's deformable gathers are spatially local enough
+# to dodge that cliff (round-4 head-pairing lever), but the sparse-conv
+# im2col gathers are NOT: raising the window to 48e6 so the bit-exact bf16
+# x-quad engages at stages 1-3 measured LC 432.4 ms vs 412.5 in-model
+# (UNIBEV_GATHER_WINDOW overrides for experiments) — the 20 MB window is
+# the measured optimum for these call sites.
+_FAST_GATHER_TABLE_BYTES = float(
+    os.environ.get("UNIBEV_GATHER_WINDOW", 20e6))
 
 
 def best_gather_conv(feats, neighbor_idx, weight, out_mask, plan=None,
