@@ -354,9 +354,14 @@ def test_xquad16_cols_match_plain_gather_bitwise():
     fpad = jnp.concatenate([fb, jnp.zeros((1, Cin), jnp.bfloat16)], 0)
     cols_ref = np.asarray(jnp.take(fpad, nidx.reshape(-1), axis=0).reshape(
         256, 27 * Cin), np.float32)
-    cols_ref_x = cols_ref.reshape(256, 9, 3, Cin).transpose(
-        0, 2, 1, 3).reshape(256, 27 * Cin)
-    np.testing.assert_array_equal(cols_fast, cols_ref_x)
+    # xquad16_cols block order: [per plane (tl, tr)] ++ [per plane (tm, 0)]
+    t = cols_ref.reshape(256, 9, 3, Cin)
+    blk_a = t[:, :, (0, 2), :].reshape(256, 18 * Cin)
+    blk_b = np.concatenate(
+        [t[:, :, 1:2, :], np.zeros((256, 9, 1, Cin), np.float32)],
+        axis=2).reshape(256, 18 * Cin)
+    cols_ref_q = np.concatenate([blk_a, blk_b], axis=-1)
+    np.testing.assert_array_equal(cols_fast, cols_ref_q)
 
     w = jnp.asarray(rng.randn(27 * Cin, Cout) * 0.1, jnp.bfloat16)
     out_fast = np.asarray(

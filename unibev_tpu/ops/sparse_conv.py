@@ -472,42 +472,71 @@ def xquad_cols(feats: jnp.ndarray, plan: XQuadPlan) -> jnp.ndarray:
 
 def _pack_bf16_triple(feats: jnp.ndarray, xp1, xp2) -> jnp.ndarray:
     """(V+1, 2C) s32 table: lanes [0,C) = pack(f[x], f[x+1]), lanes [C,2C)
-    = pack(f[x+2], 0).  4x the feats bytes (vs 2x for the pair table), but
-    ONE anchor row per 3-tap x-window — half the pair path's gather rows,
-    bit-exact bf16 values (unlike the e4m3 fp8 triple)."""
+    = pack(f[x+2], f[x+1]).  4x the feats bytes (vs 2x for the pair table),
+    but ONE anchor row per 3-tap x-window — half the pair path's gather
+    rows, bit-exact bf16 values (unlike the e4m3 fp8 triple).  f[x+1] rides
+    in BOTH words so xquad16_cols' case algebra stays lane-local (the B
+    half-lane can serve tr for case0 AND case1 without a lane shuffle)."""
     V, C = feats.shape
     fpad = jnp.concatenate([feats, jnp.zeros((1, C), feats.dtype)], axis=0)
     fp1 = fpad.at[xp1].get(mode="promise_in_bounds")
     fp2 = fpad.at[xp2].get(mode="promise_in_bounds")
     a = _pack_pairs_s32(feats, fp1)
-    b = _pack_pairs_s32(fp2, jnp.zeros_like(fp2))
+    b = _pack_pairs_s32(fp2, fp1)
     tab = jnp.concatenate([a, b], axis=-1)
     return jnp.concatenate([tab, jnp.zeros((1, 2 * C), jnp.int32)], axis=0)
 
 
 def xquad16_cols(feats: jnp.ndarray, plan: XQuadPlan) -> jnp.ndarray:
-    """im2col columns (Vout, K*Cin) in xpair_cols' x-major order via the
-    bf16 triple-packed single-anchor gather (same plan as the fp8 quad;
-    same case algebra, s32-pair unpacks instead of byte shifts)."""
+    """im2col columns (Vout, 4*P*Cin) via the bf16 triple-packed
+    single-anchor gather — pair with ``xquad16_weight``.
+
+    Column order is NOT xpair_cols' x-major: the earlier x-major variant
+    sliced the gathered (Vout, P, 2Cin) rows into per-word halves, a
+    minor-dim split XLA lowered as a full relayout (trace: 2.4 ms reshape +
+    1.6 ms {0,2,1} copy PER CONV at stage 0 — more than the gather itself).
+    Here every op runs directly on the gathered (Vout, P*2Cin) layout:
+    block A holds [tl | tr] per plane and block B [tm | 0], all selects
+    lane-local given the (f0,f1|f2,f1) pack; only the rare case-2 tr
+    (cl AND cm empty) reads across lanes, via ONE minor-axis roll that XLA
+    fuses as two slices.  The matmul K grows 3PC -> 4PC in zero columns —
+    microscopic next to the relayout it removes."""
     V, Cin = feats.shape
     Vout, P = plan.anchor.shape
     tab = _pack_bf16_triple(feats, plan.xp1, plan.xp2)
-    rows = tab.at[plan.anchor.reshape(-1)].get(
-        mode="promise_in_bounds").reshape(Vout, P, 2 * Cin)
-    A = rows[..., :Cin].reshape(Vout, P * Cin)      # pack(f0, f1)
-    B = rows[..., Cin:].reshape(Vout, P * Cin)      # pack(f2, 0)
-    alo = _unpack_lo(A).astype(feats.dtype)
-    ahi = _unpack_hi(A).astype(feats.dtype)
-    blo = _unpack_lo(B).astype(feats.dtype)
+    G = tab.at[plan.anchor.reshape(-1)].get(
+        mode="promise_in_bounds").reshape(Vout, P * 2 * Cin)
+    lo = _unpack_lo(G).astype(feats.dtype)     # per plane: [f0 | f2]
+    hi = _unpack_hi(G).astype(feats.dtype)     # per plane: [f1 | f1]
+    # case2's tr = f0[anchor], held in the A half-lane: shift it into the B
+    # half-lane position (plane-local: lane p*2C+C+c reads p*2C+c)
+    lo_s = _unpack_lo(jnp.roll(G, Cin, axis=1)).astype(feats.dtype)
     m0 = jnp.broadcast_to((plan.case == 0)[:, :, None],
-                          (Vout, P, Cin)).reshape(Vout, P * Cin)
+                          (Vout, P, 2 * Cin)).reshape(Vout, P * 2 * Cin)
     m1 = jnp.broadcast_to((plan.case == 1)[:, :, None],
-                          (Vout, P, Cin)).reshape(Vout, P * Cin)
-    zero = jnp.zeros_like(alo)
-    tl = jnp.where(m0, alo, zero)
-    tm = jnp.where(m0, ahi, jnp.where(m1, alo, zero))
-    tr = jnp.where(m0, blo, jnp.where(m1, ahi, alo))
-    return jnp.concatenate([tl, tm, tr], axis=-1)   # (Vout, 3*P*Cin)
+                          (Vout, P, 2 * Cin)).reshape(Vout, P * 2 * Cin)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P * 2 * Cin), 1)
+    upper = (lane % (2 * Cin)) >= Cin          # B half-lane of each plane
+    zero = jnp.zeros_like(lo)
+    # A block: lower half tl = m0 ? f0 : 0; upper half tr = m0 ? f2
+    #          : m1 ? f1 : f0[anchor]
+    blkA = jnp.where(m0, lo,
+                     jnp.where(upper, jnp.where(m1, hi, lo_s), zero))
+    # B block: lower half tm = m0 ? f1 : m1 ? f0 : 0; upper half zeros
+    blkB = jnp.where(upper, zero,
+                     jnp.where(m0, hi, jnp.where(m1, lo, zero)))
+    return jnp.concatenate([blkA, blkB], axis=-1)   # (Vout, 4*P*Cin)
+
+
+def xquad16_weight(weight: jnp.ndarray, P: int, Cin: int) -> jnp.ndarray:
+    """Permute a tap-major (plane, dx, cin) weight to xquad16_cols' block
+    order: [per plane (tl, tr)] ++ [per plane (tm, zeros)]."""
+    Cout = weight.shape[1]
+    w = weight.reshape(P, 3, Cin, Cout)
+    z = jnp.zeros((P, 1, Cin, Cout), weight.dtype)
+    blkA = w[:, (0, 2)].reshape(P * 2 * Cin, Cout)
+    blkB = jnp.concatenate([w[:, 1:2], z], axis=1).reshape(P * 2 * Cin, Cout)
+    return jnp.concatenate([blkA, blkB], axis=0)    # (4*P*Cin, Cout)
 
 
 @jax.custom_vjp
@@ -515,7 +544,7 @@ def subm_xquad16_conv(feats, neighbor_idx, qplan, pplan, weight, out_mask):
     """Submanifold conv with the bf16 x-quad forward (bit-exact values);
     backward through the x-pair path like subm_xpair_conv."""
     cols = xquad16_cols(feats, qplan)
-    w = xpair_weight(weight, qplan.anchor.shape[1], feats.shape[1])
+    w = xquad16_weight(weight, qplan.anchor.shape[1], feats.shape[1])
     out = jnp.dot(cols, w.astype(feats.dtype),
                   preferred_element_type=jnp.float32).astype(feats.dtype)
     return jnp.where(out_mask[:, None], out, 0.0)
@@ -541,7 +570,7 @@ def strided_xquad16_conv(feats, neighbor_idx, qplan, pplan, inv_idx, weight,
     """Strided conv with the bf16 x-quad forward; backward through the
     x-pair / inverse-table path like strided_xpair_conv."""
     cols = xquad16_cols(feats, qplan)
-    w = xpair_weight(weight, qplan.anchor.shape[1], feats.shape[1])
+    w = xquad16_weight(weight, qplan.anchor.shape[1], feats.shape[1])
     out = jnp.dot(cols, w.astype(feats.dtype),
                   preferred_element_type=jnp.float32).astype(feats.dtype)
     return jnp.where(out_mask[:, None], out, 0.0)
@@ -784,10 +813,12 @@ strided_xpair_conv.defvjp(_strided_xp_fwd, _strided_xp_bwd)
 # exceeds roughly this size (tools/microbench.py gather/subm benches) — for
 # RANDOM indices.  MSDA/DCN's deformable gathers are spatially local enough
 # to dodge that cliff (round-4 head-pairing lever), but the sparse-conv
-# im2col gathers are NOT: raising the window to 48e6 so the bit-exact bf16
-# x-quad engages at stages 1-3 measured LC 432.4 ms vs 412.5 in-model
-# (UNIBEV_GATHER_WINDOW overrides for experiments) — the 20 MB window is
-# the measured optimum for these call sites.
+# im2col gathers are NOT: raising the window so the bit-exact bf16 x-quad
+# engages at stages 1-3 measured SLOWER in-model both before the quad16
+# relayout fix (48e6: LC 432.4 vs 412.5) and after it (90e6: 417.1 vs
+# 400.5) — the cliff, not the relayout, is the cost.  The 20 MB window is
+# the measured optimum for these call sites (UNIBEV_GATHER_WINDOW
+# overrides for experiments).
 _FAST_GATHER_TABLE_BYTES = float(
     os.environ.get("UNIBEV_GATHER_WINDOW", 20e6))
 
