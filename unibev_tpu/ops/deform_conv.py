@@ -120,6 +120,33 @@ def _unpack_hi_f32(v):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
+def _pack_table_flat(x):
+    """(B, TR, 2Cin) s32 pair-packed 4-corner table, built FLAT.
+
+    Cell t = y*(W+2) + x (y in [0,H], x in [0,W]) holds
+    [pack(v[y,x], v[y,x+1]) | pack(v[y+1,x], v[y+1,x+1])] of the 1-padded
+    map v — all four bilinear corners of a sample point in one gather row.
+    Built from row-shifted slices of the FLAT padded map: the earlier
+    (B,H,W,C)-shaped build made XLA assign the pack fusion a {3,1,2,0}
+    layout and then pay a {3,2,1,0} relayout copy plus a materialized
+    reshape per conv (~0.5 ms/block traced at the flagship stage-3 shape,
+    23 DCN blocks).  Flat row slices keep every step in the gather's own
+    2-D layout.  Cells at x == W+1 wrap into the next padded row — garbage,
+    but never addressed (x0 is clipped to [0, W]).
+
+    Returns (tab, TR, row_stride); build sample indices as
+    y0*row_stride + x0.
+    """
+    B, H, W, Cin = x.shape
+    s = W + 2
+    L = (H + 2) * s
+    TR = (H + 1) * s - 1
+    vf = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(B, L, Cin)
+    row_y0 = _pack_pairs(vf[:, :TR], vf[:, 1:TR + 1])
+    row_y1 = _pack_pairs(vf[:, s:TR + s], vf[:, s + 1:])
+    return jnp.concatenate([row_y0, row_y1], axis=-1), TR, s
+
+
 def _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride, padding,
                     dilation):
     """s32 pair-packed corner gather + separable bilinear (bf16 x only)."""
@@ -138,13 +165,9 @@ def _mdcn_fast_impl(x, offset, mask, weight, kernel_size, stride, padding,
     y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
 
-    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    row_y0 = _pack_pairs(v[:, :-1, :-1, :], v[:, :-1, 1:, :])
-    row_y1 = _pack_pairs(v[:, 1:, :-1, :], v[:, 1:, 1:, :])
-    TR = (H + 1) * (W + 1)
-    tab = jnp.concatenate([row_y0, row_y1], axis=-1).reshape(B, TR, 2 * Cin)
+    tab, TR, rstride = _pack_table_flat(x)                 # (B, TR, 2Cin)
 
-    idx_b = (y0c * (W + 1) + x0c).reshape(B, -1)           # (B, Ho*Wo*K)
+    idx_b = (y0c * rstride + x0c).reshape(B, -1)           # (B, Ho*Wo*K)
     mf = (mask.astype(jnp.float32) * valid.astype(jnp.float32)).reshape(B, -1)
     lyf = ly.reshape(B, -1)
     lxf = lx.reshape(B, -1)
@@ -323,6 +346,7 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     lx = xp - x0
     y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
+    # scatter index (d_x accumulation target): dense (H+1, W+1) raster
     idx = (y0c * (W + 1) + x0c).reshape(B, N * K)
 
     # Re-gather through the SAME s32 pair-packed table as the forward: the
@@ -333,12 +357,10 @@ def _mdcn_fast_bwd(kernel_size, stride, padding, dilation, res, g):
     # Per-camera gathers keep each source table (~12 MB at stage 3) inside
     # the ~20 MB fast gather window; one batched take_along_axis over all
     # cameras reads a ~73 MB table at the slow-window rate instead.
-    v = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    row_y0 = _pack_pairs(v[:, :-1, :-1, :], v[:, :-1, 1:, :])
-    row_y1 = _pack_pairs(v[:, 1:, :-1, :], v[:, 1:, 1:, :])
-    tab = jnp.concatenate([row_y0, row_y1], axis=-1).reshape(B, TR, 2 * Cin)
+    tab, TRg, rstride = _pack_table_flat(x)
+    idx_g = (y0c * rstride + x0c).reshape(B, N * K)
     rows = jnp.concatenate(
-        [tab[b].at[idx[b]].get(mode="promise_in_bounds") for b in range(B)],
+        [tab[b].at[idx_g[b]].get(mode="promise_in_bounds") for b in range(B)],
         axis=0)
     M = B * N * K
     rows = rows.reshape(M, 2 * Cin)                   # s32 pairs, wide minor
