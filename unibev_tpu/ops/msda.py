@@ -82,8 +82,11 @@ def _split_2d(loc: jnp.ndarray, attn: jnp.ndarray):
     return x2, y2, a2
 
 
-def _geom_2d(x2, y2, H: int, W: int, dtype):
-    """Shared dense geometry: pixel coords, validity, corner index, lerps."""
+def _geom_2d(x2, y2, H: int, W: int, dtype, stride: int = None):
+    """Shared dense geometry: pixel coords, validity, corner index, lerps.
+
+    ``stride`` is the table row stride: W+1 for _pack_v4 (default), W+2
+    for _pack_v4_flat."""
     x = x2 * W - 0.5
     y = y2 * H - 0.5
     # whole-point validity: anything in [-1, size) touches a real texel or
@@ -97,7 +100,7 @@ def _geom_2d(x2, y2, H: int, W: int, dtype):
     ly = (yp - y0).astype(dtype)
     x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
     y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
-    idx = y0c * (W + 1) + x0c                      # (BH, QP)
+    idx = y0c * (W + 1 if stride is None else stride) + x0c   # (BH, QP)
     return idx, lx, ly, valid
 
 
@@ -124,6 +127,30 @@ def _pack_v4(value: jnp.ndarray, H: int, W: int):
         [v[:, :-1, :-1], v[:, :-1, 1:], v[:, 1:, :-1], v[:, 1:, 1:]],
         axis=-1)                                           # (BH, H+1, W+1, 4D)
     return v4.reshape(BH, (H + 1) * (W + 1), 4 * D)
+
+
+def _pack_v4_flat(value: jnp.ndarray, H: int, W: int):
+    """Corner-packed map built FLAT: cell t = y0*(W+2) + x0, y0 in [0,H],
+    x0 in [0,W], lanes = [v[y,x] | v[y,x+1] | v[y+1,x] | v[y+1,x+1]] of the
+    zero-ring-padded map.
+
+    Same content as _pack_v4 at a (W+2) row stride, but assembled from
+    row-shifted slices of the flat padded map: the (BH,H+1,W+1,4D)-shaped
+    build forced XLA into a spatial-layout relayout + a materialized
+    reshape (traced ~1.3 ms per TSA layer / ~0.9 ms per SCA layer at the
+    200x200 BEV shape — pad_slice/pad_maximum/copy in the pack scope).
+    Cells at x0 == W+1 wrap into the next padded row — garbage, never
+    addressed (x0 is clipped to [0, W]).  Returns (v4, TR, row_stride)."""
+    BH, _, D = value.shape
+    s = W + 2
+    L = (H + 2) * s
+    TR = (H + 1) * s - 1
+    vf = jnp.pad(value.reshape(BH, H, W, D),
+                 ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(BH, L, D)
+    v4 = jnp.concatenate(
+        [vf[:, :TR], vf[:, 1:TR + 1], vf[:, s:TR + s], vf[:, s + 1:]],
+        axis=-1)                                           # (BH, TR, 4D)
+    return v4, TR, s
 
 
 def _slab2(value, H: int, W: int, P: int, x2, y2, a2) -> jnp.ndarray:
@@ -159,9 +186,8 @@ def _slab2_fast(value, H: int, W: int, P: int, x2, y2, a2) -> jnp.ndarray:
     """
     BH, _, D = value.shape
     Q = x2.shape[1] // P
-    TR = (H + 1) * (W + 1)
-    v4 = _pack_v4(value, H, W)
-    idx, lx, ly, valid = _geom_2d(x2, y2, H, W, value.dtype)
+    v4, TR, rstride = _pack_v4_flat(value, H, W)
+    idx, lx, ly, valid = _geom_2d(x2, y2, H, W, value.dtype, stride=rstride)
     w00, w01, w10, w11 = _corner_weights(a2, lx, ly, valid, value.dtype)
 
     # NOTE: an MXU-reduction variant (rows * wide-broadcast weights, then a
@@ -326,8 +352,10 @@ def _slab_level_op2_bwd(H, W, P, res, g):
     Q = x2.shape[1] // P
     TR = (H + 1) * (W + 1)
 
-    # corner-packed table, built ONCE (shared by every chunk)
-    v4 = _pack_v4(value, H, W)
+    # corner-packed table, built ONCE (shared by every chunk) — flat build
+    # (no spatial relayout) for the re-gather; the d_value scatter keeps
+    # the dense (H+1, W+1) raster below.
+    v4g, TRg, rstride = _pack_v4_flat(value, H, W)
 
     row_bytes_per_q = BH * P * 4 * D * value.dtype.itemsize
     qc = max(1, int(BWD_CHUNK_BYTES // max(row_bytes_per_q, 1)))
@@ -337,11 +365,11 @@ def _slab_level_op2_bwd(H, W, P, res, g):
     # head-group sizes for the re-gather (2 heads per table — same
     # locality argument and in-model measurement as the forward's G) and
     # the on-chip scatter targets (<=12 MB)
-    bytes_per_head = TR * 4 * D * value.dtype.itemsize
+    bytes_per_head = TRg * 4 * D * value.dtype.itemsize
     Gg = max(1, min(BH, int(21e6 // max(bytes_per_head, 1))))
     while BH % Gg:
         Gg -= 1
-    offs_g = (jnp.arange(Gg, dtype=jnp.int32) * TR)[:, None]
+    offs_g = (jnp.arange(Gg, dtype=jnp.int32) * TRg)[:, None]
     Gs = max(1, min(BH, int(12e6 // max(bytes_per_head, 1))))
     while BH % Gs:
         Gs -= 1
@@ -368,7 +396,8 @@ def _slab_level_op2_bwd(H, W, P, res, g):
         ly = (yp - y0).astype(jnp.float32)
         x0c = jnp.clip(x0.astype(jnp.int32), 0, W)
         y0c = jnp.clip(y0.astype(jnp.int32), 0, H)
-        idx = y0c * (W + 1) + x0c                                # (BH, QP)
+        idx = y0c * (W + 1) + x0c           # scatter raster (BH, QP)
+        idx_g = y0c * rstride + x0c         # flat-table gather index
 
         # re-gather the corner rows with the SAME per-head-group fast-window
         # gather as the forward: a batched take_along_axis over all BH heads
@@ -377,8 +406,8 @@ def _slab_level_op2_bwd(H, W, P, res, g):
         # tables stay at the engine's fast rate.
         row_parts = []
         for hg in range(0, BH, Gg):
-            tab = v4[hg:hg + Gg].reshape(Gg * TR, 4 * D)
-            fidx = (idx[hg:hg + Gg] + offs_g).reshape(-1)
+            tab = v4g[hg:hg + Gg].reshape(Gg * TRg, 4 * D)
+            fidx = (idx_g[hg:hg + Gg] + offs_g).reshape(-1)
             row_parts.append(tab.at[fidx].get(mode="promise_in_bounds"))
         rows = (jnp.concatenate(row_parts, axis=0) if len(row_parts) > 1
                 else row_parts[0]).reshape(BH, QP, 4 * D)
