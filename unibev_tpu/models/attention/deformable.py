@@ -82,11 +82,18 @@ class MSDAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _sample(self, v, spatial_shapes, loc, weights):
+        # Cross the checkpoint boundary with WIDE-MINOR 3D arrays: a saved
+        # (B, Q, H, L, P[, 2]) residual tiles 16-64x lane-padded on TPU
+        # (78 MB for 4.9 MB of attn weights at the flagship TSA shape); the
+        # in-remat reshape back is free.
+        B, Q = loc.shape[:2]
+        lshape, wshape = loc.shape, weights.shape
         fn = lambda v_, l_, w_: ms_deform_attn(
-            v_, tuple(spatial_shapes), l_, w_, query_chunk=self.query_chunk)
+            v_, tuple(spatial_shapes), l_.reshape(lshape), w_.reshape(wshape),
+            query_chunk=self.query_chunk)
         if self.remat:
             fn = jax.checkpoint(fn)
-        return fn(v, loc, weights)
+        return fn(v, loc.reshape(B, Q, -1), weights.reshape(B, Q, -1))
 
     @nn.compact
     def __call__(self, query, value, reference_points, spatial_shapes,
@@ -134,11 +141,18 @@ class MSDeformableAttention3D(nn.Module):
     num_levels: int = 1
     num_points: int = 8
     query_chunk: int = 0
+    # Finer one-hot chunking under grad: each checkpointed chunk's backward
+    # holds its dense (BH, Qc, V) sampling matrix in two layouts plus a
+    # same-sized d_dense — at the flagship img-SCA shape (48, 3414, 1450)
+    # that is ~1.4 GB of HBM temps (the r04 train-step OOM's top entries).
+    # 1024-query chunks cut that peak ~3.3x; inference keeps the wide chunks.
+    query_chunk_train: int = 1024
     remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, value, reference_points, spatial_shapes):
+    def __call__(self, query, value, reference_points, spatial_shapes,
+                 *, train: bool = False):
         """query: (B, Q, C); value: (B, V, C); reference_points: (B, Q, Z, 2)."""
         B, Q, C = query.shape
         Z = reference_points.shape[2]
@@ -165,11 +179,16 @@ class MSDeformableAttention3D(nn.Module):
         # small-value-map case (flagship LC 693 -> 571 ms/sample when the
         # Pallas branch was retired; ops/msda_pallas.py remains as a tested
         # reference kernel).
+        chunk = (self.query_chunk_train or self.query_chunk) if train \
+            else self.query_chunk
+        # Wide-minor 3D checkpoint boundary (see MSDAttention._sample).
+        lshape, wshape = loc.shape, weights.shape
         fn = lambda v_, l_, w_: ms_deform_attn(
-            v_, tuple(spatial_shapes), l_, w_, query_chunk=self.query_chunk)
+            v_, tuple(spatial_shapes), l_.reshape(lshape), w_.reshape(wshape),
+            query_chunk=chunk)
         if self.remat:
             fn = jax.checkpoint(fn)
-        return fn(v, loc, weights)
+        return fn(v, loc.reshape(B, Q, -1), weights.reshape(B, Q, -1))
 
 
 @ATTENTION.register_module(name="SpatialCrossAttentionImg")
@@ -222,7 +241,8 @@ class SpatialCrossAttentionImg(nn.Module):
                 topk_idx[..., None], axis=2).reshape(B, num_cam, K, Z, 2)
             sel_hit = jnp.take_along_axis(hit, topk_idx, axis=2)  # (B,cam,K)
             out = da(q_reb.reshape(B * num_cam, K, C), v_b,
-                     ref_reb.reshape(B * num_cam, K, Z, 2), spatial_shapes)
+                     ref_reb.reshape(B * num_cam, K, Z, 2), spatial_shapes,
+                     train=not deterministic)
             out = out.reshape(B, num_cam, K, C) * sel_hit[..., None]
             # scatter-add back into the full query grid
             slots = jnp.zeros((B, Q, C), out.dtype)
@@ -235,7 +255,8 @@ class SpatialCrossAttentionImg(nn.Module):
             q_b = jnp.broadcast_to(query[:, None], (B, num_cam, Q, C)).reshape(
                 B * num_cam, Q, C)
             ref_b = reference_points_cam.reshape(B * num_cam, Q, -1, 2)
-            out = da(q_b, v_b, ref_b, spatial_shapes)  # (B*cam, Q, C)
+            out = da(q_b, v_b, ref_b, spatial_shapes,
+                     train=not deterministic)  # (B*cam, Q, C)
             out = out.reshape(B, num_cam, Q, C)
             slots = (out * hit[..., None]).sum(axis=1)
             count = jnp.maximum(hit.sum(axis=1), 1.0)
