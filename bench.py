@@ -1,15 +1,23 @@
 """Benchmark: flagship UniBEV (L+C CNW 256) inference samples/sec on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-The reference repo publishes no throughput numbers (BASELINE.md — published {});
-vs_baseline is computed against an assumed 2.0 samples/s for the reference
-torch/mmdet3d stack on a V100-class GPU (BEVFormer-era models run 1.5-3 fps at
-this resolution), so vs_baseline = value / 2.0.  Target from BASELINE.json:
->= 4x => vs_baseline >= 4.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline", ...}
+IMMEDIATELY after the headline measurement (flushed — the artifact survives
+any later timeout), then runs the L / C / train extras and prints an ENRICHED
+line second.  The driver parses the LAST line of stdout, so a completed run
+reports the self-contained record and a timed-out run still carries the
+headline (VERDICT r4 #1: round 4 lost its whole perf story to an unflushed
+headline behind 3x1500 s of extras).
 
-The default run also benches the L-only / C-only modalities and the full
-train step (fwd+bwd+AdamW) so the driver's single JSON line is
-self-contained: extras carry L_ms / C_ms / train_s / step_tflop / mfu.
+The reference repo publishes no throughput numbers (BASELINE.md — published
+{}); vs_baseline is computed against an assumed 2.0 samples/s for the
+reference torch/mmdet3d stack on a V100-class GPU (BEVFormer-era models run
+1.5-3 fps at this resolution), so vs_baseline = value / 2.0.  Target from
+BASELINE.json: >= 4x => vs_baseline >= 4.
+
+Budgets: UNIBEV_BENCH_DEADLINE (default 1200 s) bounds the WHOLE process
+from import time; each extra subprocess gets min(UNIBEV_BENCH_EXTRA_TIMEOUT
+default 420 s, time remaining).  Extras that don't fit are reported as
+"skipped: deadline" — the headline is never at risk.
 Set UNIBEV_BENCH_FAST=1 (or --headline-only) to skip the extras.
 """
 
@@ -17,6 +25,8 @@ import json
 import os
 import sys
 import time
+
+T_START = time.time()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,6 +44,11 @@ except Exception:
 import numpy as np
 
 BASELINE = 2.0  # assumed reference GPU samples/s (no published number)
+
+
+def _deadline_remaining():
+    budget = float(os.environ.get("UNIBEV_BENCH_DEADLINE", "1200"))
+    return budget - (time.time() - T_START)
 
 
 def _tail(text, n=20, width=2400):
@@ -77,8 +92,13 @@ def _init_variables(model, batch):
 
 
 def bench_inference(modality: str, batch_size: int = 1,
-                    n_iters: int = 10, n_rounds: int = 3) -> float:
-    """Best-of-rounds per-sample seconds for one modality combination.
+                    n_iters: int = 10, n_rounds: int = 3):
+    """(best per-sample seconds, sca_overflow) for one modality combination.
+
+    The timed predict also returns the sown sca_topk_overflow max (VERDICT
+    r4 #5: the counter used to be test-only — a geometry overflowing the
+    rebatch_k=10240 capacity would silently drop pillar hits).  It rides the
+    same jitted fn, so it costs one scalar reduce, not a second compile.
 
     Inference defaults to the fp8 sparse-conv x-quad tables (measured
     -30 ms LC with score drift max |d| 0.004 — PERF.md; the BASELINE gate
@@ -86,6 +106,7 @@ def bench_inference(modality: str, batch_size: int = 1,
     """
     from unibev_tpu.flagship import build_flagship, synthetic_batch
     from unibev_tpu.models.detectors.unibev import UniBEV
+    from unibev_tpu.runtime.predict import max_sca_overflow
 
     fp8 = os.environ.get("UNIBEV_FP8", "1") == "1" and "L" in modality
     model = build_flagship(use_lidar="L" in modality,
@@ -95,9 +116,17 @@ def bench_inference(modality: str, batch_size: int = 1,
     batch = synthetic_batch(rng, B=batch_size)
     variables = _init_variables(model, batch)
 
-    predict = jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict))
+    @jax.jit
+    def predict(v, b):
+        out, inter = model.apply(v, b, method=UniBEV.predict,
+                                 mutable=["intermediates"])
+        out = dict(out)
+        out["sca_overflow"] = max_sca_overflow(inter)
+        return out
+
     out = jax.device_get(predict(variables, batch))  # compile + warm
     assert np.isfinite(out["bboxes"]).all()
+    overflow = int(out["sca_overflow"])
 
     # The axon relay adds high-variance per-dispatch latency; take the best
     # of several rounds (standard min-timing practice) so the recorded number
@@ -109,7 +138,8 @@ def bench_inference(modality: str, batch_size: int = 1,
             out = predict(variables, batch)
         jax.device_get(out["scores"])
         best = min(best, (time.perf_counter() - t0) / n_iters)
-    return best / batch_size
+
+    return best / batch_size, overflow
 
 
 def bench_train_step(batch_size: int = 1):
@@ -191,10 +221,10 @@ def main():
             "mfu": round(mfu, 4) if mfu else None,
             "hbm_temp_args_mb": hbm_mb,   # trend only; fit == this ran
             "device": str(jax.devices()[0]),
-        }))
+        }), flush=True)
         return
 
-    dt = bench_inference(args.modality, args.batch)
+    dt, overflow = bench_inference(args.modality, args.batch)
     rec = {
         "metric": f"nuScenes-scale {args.modality} inference samples/sec/chip",
         "value": round(1.0 / dt, 3),
@@ -204,9 +234,13 @@ def main():
         "batch": args.batch,
         "fp8_sparse": os.environ.get("UNIBEV_FP8", "1") == "1"
                       and "L" in args.modality,
+        # dropped camera-SCA hits beyond rebatch_k; MUST be 0 (-1 = no camera)
+        "sca_overflow": overflow,
         "device": str(jax.devices()[0]),
         "baseline_note": "assumed 2.0 samples/s reference GPU (none published)",
     }
+    # The headline must survive anything the extras do: print + flush NOW.
+    print(json.dumps(rec), flush=True)
 
     fast = (os.environ.get("UNIBEV_BENCH_FAST", "0") == "1"
             or args.headline_only or args.modality != "LC")
@@ -217,11 +251,16 @@ def main():
         # extra never loses the headline number or the driver's budget
         # (an in-process XLA compile cannot be interrupted; killing the
         # whole bench mid-compile can wedge the axon relay for an hour).
-        budget = int(os.environ.get("UNIBEV_BENCH_EXTRA_TIMEOUT", "1500"))
+        per_extra = float(os.environ.get("UNIBEV_BENCH_EXTRA_TIMEOUT", "420"))
         me = os.path.abspath(__file__)
 
         def sub_bench(extra_args, key):
-            sub, fail = run_sub([sys.executable, me] + extra_args, budget)
+            remaining = _deadline_remaining()
+            if remaining < 60:
+                rec[key] = "skipped: deadline"
+                return None
+            sub, fail = run_sub([sys.executable, me] + extra_args,
+                                min(per_extra, remaining))
             if fail is not None:
                 rec[key] = fail["status"]
                 rec[key + "_stderr"] = fail["stderr_tail"]
@@ -231,6 +270,9 @@ def main():
             sub = sub_bench(["--modality", modality], key)
             if sub is not None:
                 rec[key] = sub["ms_per_sample"]
+                if modality == "C":
+                    rec["sca_overflow"] = max(rec["sca_overflow"],
+                                              sub.get("sca_overflow", -1))
         sub = sub_bench(["--train"], "train_s")
         if sub is not None:
             rec["train_s"] = sub["value"]
@@ -238,7 +280,9 @@ def main():
             rec["mfu"] = sub.get("mfu")
             rec["hbm_temp_args_mb"] = sub.get("hbm_temp_args_mb")
 
-    print(json.dumps(rec))
+        # Enriched record second: the driver parses the tail, so a completed
+        # run reports this line and a killed run still has the headline.
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

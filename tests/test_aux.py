@@ -146,3 +146,59 @@ def test_bench_sub_failure_diagnosable():
     out, fail = run_sub(
         [sys.executable, "-c", "print('{\"value\": 1.5}')"], budget=30)
     assert fail is None and out == {"value": 1.5}
+
+
+def test_replicated_predict_surfaces_sca_overflow():
+    """make_replicated_predict must carry the sca_topk_overflow counter
+    (VERDICT r4 #5: production paths, not just tests, read it)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from jax.sharding import Mesh
+    from test_detector import tiny_model_cfg, tiny_batch
+    from unibev_tpu.models.detectors.unibev import UniBEV
+    from unibev_tpu.runtime.predict import make_replicated_predict
+
+    cfg = tiny_model_cfg()
+    sca = cfg["pts_bbox_head"]["transformer"]["img_encoder"][
+        "transformerlayers"]["attn_cfgs"][1]
+    sca["rebatch_k"] = 64                      # ample: all 8x8 queries fit
+    model = UniBEV(**cfg)
+    batch = tiny_batch(np.random.RandomState(0))
+    variables = model.init(
+        dict(params=jax.random.PRNGKey(0), gridmask=jax.random.PRNGKey(1),
+             modality=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3)),
+        batch, train=False)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    out = jax.device_get(make_replicated_predict(model, mesh)(
+        variables, batch))
+    assert int(out["sca_overflow"]) == 0, out["sca_overflow"]
+
+    # Starved capacity MUST report the dropped hits (same params: rebatch_k
+    # is not a parameter, only a static capacity).
+    sca["rebatch_k"] = 1
+    starved = UniBEV(**cfg)
+    out = jax.device_get(make_replicated_predict(starved, mesh)(
+        variables, batch))
+    assert int(out["sca_overflow"]) > 0
+
+
+def test_parity_tools_gates(tmp_path):
+    """run_parity reports missing prereqs (rc 2); make_goldens refuses
+    random-init goldens without --allow-random (VERDICT r4 #6)."""
+    import subprocess, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/run_parity.py"),
+         "--weights-dir", str(tmp_path / "w"),
+         "--data-root", str(tmp_path / "d")],
+        capture_output=True, text=True)
+    assert p.returncode == 2, p.stdout + p.stderr
+    assert "prerequisites" in p.stdout
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/make_goldens.py"),
+         "--out", str(tmp_path / "g")],
+        capture_output=True, text=True)
+    assert p.returncode != 0
+    assert "--allow-random" in p.stderr

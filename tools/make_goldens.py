@@ -26,7 +26,18 @@ def main():
     p.add_argument("--config", default="configs/smoke/tiny_lc.py")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out", default="goldens")
+    p.add_argument("--allow-random", action="store_true",
+                   help="permit writing goldens from a RANDOMLY-INITIALIZED "
+                        "model (cross-version regression anchors only — they "
+                        "prove nothing about reference parity; VERDICT r4 "
+                        "weak #5)")
     args = p.parse_args()
+
+    if args.checkpoint is None and not args.allow_random:
+        p.error("no --checkpoint given: goldens from a random init anchor "
+                "nothing external. Pass a converted reference checkpoint "
+                "(tools/run_parity.py drives the full flow) or opt in "
+                "explicitly with --allow-random.")
 
     import numpy as np
     import jax
@@ -66,8 +77,11 @@ def main():
              all_bbox_preds=np.asarray(preds["all_bbox_preds"], np.float32),
              bboxes=np.asarray(out["bboxes"], np.float32),
              scores=np.asarray(out["scores"], np.float32),
-             config=osp.basename(args.config))
-    print(f"wrote goldens to {args.out}/forward.npz")
+             config=osp.basename(args.config),
+             provenance=("checkpoint:" + args.checkpoint if args.checkpoint
+                         else "random-init (regression anchor only)"))
+    print(f"wrote goldens to {args.out}/forward.npz "
+          f"({'from ' + args.checkpoint if args.checkpoint else 'RANDOM INIT'})")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,14 @@ def parse_args():
     p.add_argument("--cfg-options", nargs="+", default=[])
     p.add_argument("--fuse-conv-bn", action="store_true",
                    help="accepted for parity; XLA fuses conv+affine already")
+    p.add_argument("--tmpdir",
+                   help="accepted for parity (reference test_UniBEV.py:50-55 "
+                        "rank-0 pickle gather scratch dir); the TPU path "
+                        "allgathers fixed-shape arrays and needs no tmpdir")
+    p.add_argument("--gpu-collect", action="store_true",
+                   help="accepted for parity (reference test_UniBEV.py:56-60 "
+                        "GPU vs CPU result gather); the TPU path always "
+                        "gathers on device")
     p.add_argument("--launcher", default="none")
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
@@ -134,8 +142,10 @@ def main():
 
     results = []
     done = 0
+    sca_overflow = -1
     for chunk, metas, b, out, row0 in predict_dataset(
             predict, variables, dataset, idxs, mesh, collate):
+        sca_overflow = max(sca_overflow, int(out.get("sca_overflow", -1)))
         for j, i in enumerate(chunk):
             gj = row0 + j
             results.append(dict(
@@ -204,10 +214,20 @@ def main():
     if not args.format_only and not args.synthetic_data and hasattr(dataset, "infos"):
         from unibev_tpu.data.eval import nuscenes_eval
         metrics = nuscenes_eval(results, dataset)
+        metrics["sca_overflow"] = sca_overflow
         logger.info(f"Evaluation: {json.dumps(metrics, indent=2)}")
         print(json.dumps(metrics))
     else:
         logger.info(f"produced {len(results)} result dicts")
+
+    # Camera-SCA capacity gate (VERDICT r4 #5): a positive counter means
+    # pillar hits beyond rebatch_k were silently dropped — the predictions
+    # above are NOT the reference semantics.  Fail loudly.
+    if sca_overflow > 0:
+        logger.error(f"sca_topk_overflow={sca_overflow}: camera SCA dropped "
+                     f"pillar hits beyond rebatch_k; raise rebatch_k in the "
+                     f"config (results above are degraded)")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -52,8 +52,10 @@ def flagship_model_cfg(use_lidar=True, use_camera=True, dtype=jnp.bfloat16,
              # BEV / 108 m grid: f=1266 cams 7571 pillars, the wide rear
              # f~=809 cam 10000 (mount offsets only shrink it); SCA cost is
              # linear in K.  10240 = 80*128 lanes, 2.4% headroom over the
-             # worst camera; the sown sca_topk_overflow asserts 0 dropped
-             # hits at runtime (encoders.py:163-169).
+             # worst camera.  The sown sca_topk_overflow counter
+             # (encoders.py:163-169) is surfaced by bench.py ('sca_overflow'
+             # in every record) and tools/test_UniBEV.py (exits 1 when > 0);
+             # tests also assert it is 0.
              rebatch_k=10240),
     ]
     pts_attn = [

@@ -24,12 +24,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def max_sca_overflow(inter):
+    """Max of the sown sca_topk_overflow counters in an intermediates tree.
+
+    -1 when the counter is absent (no camera branch / no rebatch).  A value
+    > 0 means the camera SCA silently dropped pillar hits beyond rebatch_k —
+    a correctness hazard, not a perf detail (VERDICT r4 #5): production
+    surfaces (bench.py, tools/test_UniBEV.py) must flag it.
+    """
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves_with_path(inter)
+    vals = [jnp.max(leaf) for path, leaf in leaves
+            if any("sca_topk_overflow" in str(getattr(k, "key", k))
+                   for k in path)]
+    if not vals:
+        return jnp.int32(-1)
+    return jnp.int32(jnp.max(jnp.stack(vals)))
+
+
 def make_replicated_predict(model, mesh: Mesh) -> Callable:
-    """jit model.predict with replicated (all-gathered) outputs."""
+    """jit model.predict with replicated (all-gathered) outputs.
+
+    The output dict carries an extra scalar 'sca_overflow' (see
+    max_sca_overflow); unused sown intermediates are dead code under jit so
+    the probe costs nothing.
+    """
     from unibev_tpu.models.detectors.unibev import UniBEV
 
-    return jax.jit(lambda v, b: model.apply(v, b, method=UniBEV.predict),
-                   out_shardings=NamedSharding(mesh, P()))
+    def _predict(v, b):
+        out, inter = model.apply(v, b, method=UniBEV.predict,
+                                 mutable=["intermediates"])
+        out = dict(out)
+        out["sca_overflow"] = max_sca_overflow(inter)
+        return out
+
+    return jax.jit(_predict, out_shardings=NamedSharding(mesh, P()))
 
 
 def predict_dataset(predict: Callable, variables, dataset, idxs: Sequence[int],
