@@ -9,8 +9,14 @@ formulation.  For the camera SCA the per-camera value map is tiny
 and applied as ONE MXU matmul.  Nothing but inputs/outputs touches HBM.
 
 Semantics are exactly ``ms_deform_attn`` (grid_sample align_corners=False,
-zero padding) for a single level; used by SpatialCrossAttentionImg through
-``ms_deform_attn_smallv``.
+zero padding) for a single level, exposed as ``ms_deform_attn_smallv``.
+
+STATUS: RETIRED from the production path (round 2).  The one-hot build is
+VPU compare-bound; XLA grouped corner-packed gathers (ops/msda.py) measured
+3x faster in-model, and SpatialCrossAttentionImg now routes there
+(models/attention/deformable.py).  Kept as a working, oracle-tested Pallas
+reference kernel for small-value-map attention (tests/test_msda.py) — the
+pattern is the right one if a future geometry shrinks the per-camera maps.
 """
 
 from __future__ import annotations
