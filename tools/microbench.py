@@ -862,6 +862,40 @@ def bench_msdageom():
         bench(geom_wide, loc_x, loc_y, attn2, name=f"{label} geom wide (BH,QP)")
 
 
+
+
+def bench_scatter():
+    """XLA scatter-add vs the Pallas VMEM-resident RMW kernel at the train
+    backward's two hot shapes (MSDA TSA 256B rows, DCN stage-3 2KB rows)."""
+    from unibev_tpu.ops.scatter_pallas import scatter_add_rows
+    rng = np.random.RandomState(0)
+    shapes = [
+        # (name, M rows, TR table rows, lanes)
+        ("tsa-head (Gs=1)", 160000, 40602, 128),
+        ("tsa-2head", 320000, 2 * 40602, 128),
+        ("dcn-cam", 52224, 6059, 1024),
+        ("ptssca-head", 320000, 33306, 128),
+    ]
+    for name, M, TR, L in shapes:
+        # near-raster keys like the real backward (query-raster order +-
+        # small deviation)
+        base = np.linspace(0, TR - 8, M).astype(np.int32)
+        k = np.clip(base + rng.randint(-400, 400, M), 0, TR - 1).astype(np.int32)
+        c = jnp.asarray(rng.randn(M, L).astype(np.float32), jnp.bfloat16)
+        ki = jnp.asarray(k)
+
+        def xla(c_, k_):
+            return jnp.zeros((TR, L), c_.dtype).at[k_].add(c_)
+
+        bench(xla, c, ki, name=f"xla-scatter {name} M={M} L={L}")
+        for mc in (1024, 4096):
+            if M % mc:
+                continue
+            def pal(c_, k_, mc=mc):
+                return scatter_add_rows(k_, c_, TR, mc=mc)
+            bench(pal, c, ki, name=f"pallas-rmw mc={mc} {name}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "gather"
     globals()[f"bench_{which}"]()

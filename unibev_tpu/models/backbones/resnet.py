@@ -153,7 +153,7 @@ class ResNet(nn.Module):
     depth: int = 101
     num_stages: int = 4
     out_indices: Sequence[int] = (3,)
-    frozen_stages: int = 1          # handled by the optimizer mask, kept for config parity
+    frozen_stages: int = 1
     style: str = "caffe"
     with_cp: bool = False
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
@@ -185,6 +185,14 @@ class ResNet(nn.Module):
             x = nn.remat(stem)(conv1, bn1, x)
         else:
             x = stem(conv1, bn1, x)
+        # mmcv _freeze_stages: frozen_stages >= 0 sets requires_grad=False on
+        # the stem — torch computes NO gradients there.  stop_gradient is the
+        # exact analog (the image input carries no grad, so zero cotangents
+        # make the whole frozen backward dead code) vs computing-then-zero-
+        # scaling the frozen grads.  The optimizer's lr-0 paramwise rules
+        # stay as a second guard.
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         planes = 64
@@ -223,6 +231,9 @@ class ResNet(nn.Module):
                         x = nn.remat(lambda mdl, y: mdl(y))(block, x)
                 else:
                     x = block(x)
+            # mmcv freezes layer{1..frozen_stages} (requires_grad=False)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2
